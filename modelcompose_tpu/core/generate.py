@@ -1,0 +1,110 @@
+"""Greedy/temperature generation with a preallocated KV cache.
+
+Replaces the reference's HF ``model.generate`` + tuple-concat cache path
+(reference: modelcompose/eval/model_multimodal_qa_loader.py:93-102 and
+modelcompose/model/language_model/multimodal_llama.py:284-289).  Prefill runs
+the full routed multimodal forward once; decode steps run with the 'default'
+route class only, matching reference decode semantics (reference:
+multimodal_llama.py:436-438, multimodal_arch.py:290-293).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from .llama import KVCache, forward, logits_from_hidden
+
+_PREFILL_CACHE = {}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
+             routing_table, segment_ids, lengths, max_len: int,
+             attn_impl: str):
+    B, L, _ = inputs_embeds.shape
+    cache = KVCache.zeros(cfg, B, max_len)
+    logits, cache = forward(
+        params, cfg, inputs_embeds, route_ids=route_ids,
+        routing_table=routing_table, segment_ids=segment_ids,
+        cache=cache, attn_impl=attn_impl)
+    # Last valid position's logits per sample (right-padded batch).
+    last = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)
+    return last[:, 0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def _decode_step(params, cfg: ModelConfig, cache, tokens, kv_lens,
+                 routing_table):
+    """One decode step. tokens: [B] int32; kv_lens: [B] valid cache length
+    before this token. Returns (logits [B, V], cache, kv_lens+1)."""
+    embeds = jnp.take(params["embed_tokens"], tokens, axis=0)[:, None, :]
+    positions = kv_lens[:, None].astype(jnp.int32)
+    logits, cache = forward(
+        params, cfg, embeds, route_ids=None, routing_table=routing_table,
+        positions=positions, cache=cache, cache_write_pos=kv_lens,
+        kv_lens=kv_lens + 1)
+    return logits[:, 0], cache, kv_lens + 1
+
+
+def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
+             route_ids=None, routing_table=None, segment_ids=None,
+             max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
+             temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
+             attn_impl: str = "auto"):
+    """Generate token ids.
+
+    Args:
+      inputs_embeds: [B, L, H] packed prompt embeddings (right-padded).
+      lengths: [B] true prompt lengths.
+      route_ids: [B, L] route classes for the prompt (None = all default).
+      segment_ids: [B, L]; defaults to positions < lengths.
+
+    Returns:
+      list of per-sample python lists of generated token ids (EOS excluded).
+    """
+    B, L, _ = inputs_embeds.shape
+    if cache_len is None:
+        cache_len = L + max_new_tokens
+    lengths = jnp.asarray(lengths, jnp.int32)
+    if segment_ids is None:
+        segment_ids = (jnp.arange(L)[None, :] < lengths[:, None]).astype(
+            jnp.int32)
+    if routing_table is not None:
+        routing_table = jnp.asarray(routing_table)
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+
+    logits, cache = _prefill(params, cfg, inputs_embeds, route_ids,
+                             routing_table, segment_ids, lengths, cache_len,
+                             attn_impl)
+
+    kv_lens = lengths
+    outputs = [[] for _ in range(B)]
+    done = np.zeros(B, dtype=bool)
+    for step in range(max_new_tokens):
+        if temperature and temperature > 0.0:
+            rng, sub = jax.random.split(rng)
+            tokens = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            tokens = jnp.argmax(logits, axis=-1)
+        tokens = tokens.astype(jnp.int32)
+        host_tokens = np.asarray(tokens)
+        for b in range(B):
+            if not done[b]:
+                if eos is not None and host_tokens[b] == eos:
+                    done[b] = True
+                else:
+                    outputs[b].append(int(host_tokens[b]))
+        if done.all():
+            break
+        if step == max_new_tokens - 1:
+            break
+        logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
+                                              kv_lens, routing_table)
+    return outputs

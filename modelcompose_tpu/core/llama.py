@@ -1,0 +1,280 @@
+"""Functional Llama backbone with stacked per-modality LoRA adapters.
+
+TPU-native redesign of the reference's ``MultimodalLlamaModel`` /
+``MultimodalLlamaForCausalLM`` (reference: modelcompose/model/language_model/
+multimodal_llama.py:471-770):
+
+- Parameters are a pytree with the *layer axis stacked* so the decoder runs
+  as one ``lax.scan`` — a single compiled layer body regardless of depth.
+- Per-modality adapters are stacked on a leading adapter axis and routed by
+  per-token weight rows (see ops/routed_lora.py); there is no python dict
+  dispatch anywhere in the traced graph.
+- The KV cache is preallocated ``[n_layers, B, S_max, Hkv, D]`` and updated
+  with dynamic slices; decode routes every token through the 'default'
+  route class, matching the reference's decode semantics (reference:
+  multimodal_llama.py:436-438).
+- The MLP applies the routed adapter consistently through gate/up/down for
+  a token's modality (reference: multimodal_llama.py:380-390).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.attention import attention, decode_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_tables
+from ..ops.routed_lora import routed_lora_matmul
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _init_lora(rng, n_layers, n_adapters, d_in, d_out, r, dtype):
+    """LoRA init: A ~ kaiming-uniform(a=sqrt(5)) as in peft, B = 0."""
+    bound = float(np.sqrt(6.0 / d_in))  # kaiming_uniform with a=sqrt(5)
+    a = jax.random.uniform(rng, (n_layers, n_adapters, d_in, r),
+                           minval=-bound, maxval=bound, dtype=jnp.float32)
+    b = jnp.zeros((n_layers, n_adapters, r, d_out), dtype=jnp.float32)
+    return a.astype(dtype), b.astype(dtype)
+
+
+def _init_linear(rng, n_layers, n_adapters, d_in, d_out, r, dtype,
+                 base_std=0.02):
+    k_w, k_a = jax.random.split(rng)
+    w = (jax.random.normal(k_w, (n_layers, d_in, d_out), dtype=jnp.float32)
+         * base_std).astype(dtype)
+    la, lb = _init_lora(k_a, n_layers, n_adapters, d_in, d_out, r, dtype)
+    return {"w": w, "lora_a": la, "lora_b": lb}
+
+
+def init_params(cfg: ModelConfig, rng) -> Params:
+    dtype = jnp.dtype(cfg.dtype)
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    N = cfg.num_hidden_layers
+    A = len(cfg.adapter_names())
+    r = cfg.lora_r
+    hd = cfg.head_dim
+    kv_out = cfg.num_key_value_heads * hd
+
+    keys = jax.random.split(rng, 12)
+    params: Params = {
+        "embed_tokens": (jax.random.normal(keys[0], (V, H), jnp.float32)
+                         * 0.02).astype(dtype),
+        "layers": {
+            "input_layernorm": jnp.ones((N, H), dtype),
+            "post_attention_layernorm": jnp.ones((N, H), dtype),
+            "attn": {
+                "q": _init_linear(keys[1], N, A, H, H, r, dtype),
+                "k": _init_linear(keys[2], N, A, H, kv_out, r, dtype),
+                "v": _init_linear(keys[3], N, A, H, kv_out, r, dtype),
+                "o": _init_linear(keys[4], N, A, H, H, r, dtype),
+            },
+            "mlp": {
+                "gate": _init_linear(keys[5], N, A, H, I, r, dtype),
+                "up": _init_linear(keys[6], N, A, H, I, r, dtype),
+                "down": _init_linear(keys[7], N, A, I, H, r, dtype),
+            },
+        },
+        "norm": jnp.ones((H,), dtype),
+        "lm_head": (jax.random.normal(keys[8], (H, V), jnp.float32)
+                    * 0.02).astype(dtype),
+    }
+    # Learned per-modality prefix/suffix soft tokens (reference:
+    # multimodal_llama.py:633-649), initialized to zeros as in the reference.
+    prefix, suffix = {}, {}
+    for m in cfg.modalities():
+        if cfg.prefix_len(m):
+            prefix[m] = jnp.zeros((cfg.prefix_len(m), H), dtype)
+        if cfg.suffix_len(m):
+            suffix[m] = jnp.zeros((cfg.suffix_len(m), H), dtype)
+    if prefix:
+        params["prefix_tokens"] = prefix
+    if suffix:
+        params["suffix_tokens"] = suffix
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # [N_layers, B, S_max, Hkv, D]
+    v: jax.Array  # [N_layers, B, S_max, Hkv, D]
+
+    @staticmethod
+    def zeros(cfg: ModelConfig, batch: int, max_len: int,
+              dtype=None) -> "KVCache":
+        dtype = dtype or jnp.dtype(cfg.dtype)
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
+           cache_k, cache_v, cache_write_pos, kv_lens, attn_impl):
+    """One decoder block.
+
+    x: [B, L, H]; route: [B, L, A] or None; cos/sin: [B, L, hd].
+    cache_k/v: [B, S_max, Hkv, D] or None (no-cache / training mode).
+    cache_write_pos: [B] slot where this chunk's kv starts, or None to
+      write at position 0 (prefill).
+    kv_lens: [B] total valid kv after this chunk (decode attention only).
+    """
+    B, L, H = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+
+    ap = lp["attn"]
+    q = routed_lora_matmul(h, ap["q"]["w"], ap["q"]["lora_a"],
+                           ap["q"]["lora_b"], route)
+    k = routed_lora_matmul(h, ap["k"]["w"], ap["k"]["lora_a"],
+                           ap["k"]["lora_b"], route)
+    v = routed_lora_matmul(h, ap["v"]["w"], ap["v"]["lora_a"],
+                           ap["v"]["lora_b"], route)
+
+    q = q.reshape(B, L, nh, hd)
+    k = k.reshape(B, L, nkv, hd)
+    v = v.reshape(B, L, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache_k, new_cache_v = cache_k, cache_v
+    if cache_k is not None:
+        if cache_write_pos is None:
+            new_cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, 0, 0, 0))
+            new_cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, 0, 0, 0))
+        else:
+            def write_one(cache, val, pos):
+                return jax.lax.dynamic_update_slice(
+                    cache, val.astype(cache.dtype), (pos, 0, 0))
+            new_cache_k = jax.vmap(write_one)(cache_k, k, cache_write_pos)
+            new_cache_v = jax.vmap(write_one)(cache_v, v, cache_write_pos)
+
+    if cache_k is not None and cache_write_pos is not None:
+        # Decode: attend over the cache.
+        attn_out = decode_attention(q, new_cache_k, new_cache_v, kv_lens)
+    else:
+        attn_out = attention(q, k, v, causal=True, q_segment_ids=segment_ids,
+                             kv_segment_ids=segment_ids, impl=attn_impl)
+
+    attn_out = attn_out.reshape(B, L, nh * hd)
+    attn_out = routed_lora_matmul(attn_out, ap["o"]["w"], ap["o"]["lora_a"],
+                                  ap["o"]["lora_b"], route)
+    x = x + attn_out
+
+    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    mp = lp["mlp"]
+    gate = routed_lora_matmul(h, mp["gate"]["w"], mp["gate"]["lora_a"],
+                              mp["gate"]["lora_b"], route)
+    up = routed_lora_matmul(h, mp["up"]["w"], mp["up"]["lora_a"],
+                            mp["up"]["lora_b"], route)
+    inter = jax.nn.silu(gate) * up
+    down = routed_lora_matmul(inter, mp["down"]["w"], mp["down"]["lora_a"],
+                              mp["down"]["lora_b"], route)
+    x = x + down
+    return x, new_cache_k, new_cache_v
+
+
+def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
+                   route=None, segment_ids=None, positions=None,
+                   cache: Optional[KVCache] = None, cache_write_pos=None,
+                   kv_lens=None, attn_impl: str = "auto"
+                   ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    inputs_embeds: [B, L, H]; route: [B, L, A] adapter weights or None;
+    positions: [B, L] absolute positions (defaults to arange).
+    Returns (final hidden [B, L, H], updated cache or None).
+    """
+    B, L, H = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, L), jnp.int32)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = inputs_embeds
+
+    def body(carry, xs):
+        x = carry
+        lp, ck, cv = xs
+        x, ck, cv = _layer(cfg, lp, x, route, cos, sin,
+                           segment_ids=segment_ids, cache_k=ck, cache_v=cv,
+                           cache_write_pos=cache_write_pos, kv_lens=kv_lens,
+                           attn_impl=attn_impl)
+        return x, (ck, cv)
+
+    layer_params = params["layers"]
+    if cache is not None:
+        xs = (layer_params, cache.k, cache.v)
+    else:
+        n = cfg.num_hidden_layers
+        xs = (layer_params, jnp.zeros((n, 0)), jnp.zeros((n, 0)))
+
+        def body(carry, xs):  # noqa: F811 — cache-free variant
+            x = carry
+            lp, _, _ = xs
+            x, _, _ = _layer(cfg, lp, x, route, cos, sin,
+                             segment_ids=segment_ids, cache_k=None,
+                             cache_v=None, cache_write_pos=None, kv_lens=None,
+                             attn_impl=attn_impl)
+            return x, (jnp.zeros(0), jnp.zeros(0))
+
+    scan_body = jax.checkpoint(body) if (cfg.remat and cache is None) else body
+    x, caches = jax.lax.scan(scan_body, x, xs)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(k=caches[0], v=caches[1])
+    return x, new_cache
+
+
+def logits_from_hidden(params: Params, hidden) -> jax.Array:
+    return jnp.einsum("blh,hv->blv", hidden, params["lm_head"],
+                      preferred_element_type=jnp.float32)
+
+
+def forward(params: Params, cfg: ModelConfig, inputs_embeds, *,
+            route_ids=None, routing_table=None, segment_ids=None,
+            positions=None, cache: Optional[KVCache] = None,
+            cache_write_pos=None, kv_lens=None, attn_impl: str = "auto"):
+    """Full causal-LM forward: embeds -> hidden -> fp32 logits.
+
+    route_ids: [B, L] int32 route classes; routing_table:
+    [n_classes, n_adapters].  When routing is inactive for the config the
+    default row is applied to every token (matching the reference's
+    active_adapters=('default',) path, reference: multimodal_llama.py:240-243).
+    """
+    route = None
+    if routing_table is not None:
+        table = jnp.asarray(routing_table)
+        if route_ids is None or not cfg.routing_active():
+            B, L, _ = inputs_embeds.shape
+            route = jnp.broadcast_to(table[0], (B, L, table.shape[1]))
+        else:
+            route = jnp.take(table, route_ids, axis=0)
+    hidden, new_cache = forward_hidden(
+        params, cfg, inputs_embeds, route=route, segment_ids=segment_ids,
+        positions=positions, cache=cache, cache_write_pos=cache_write_pos,
+        kv_lens=kv_lens, attn_impl=attn_impl)
+    return logits_from_hidden(params, hidden), new_cache

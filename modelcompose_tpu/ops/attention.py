@@ -1,0 +1,114 @@
+"""Attention ops: XLA reference implementation + dispatch wrapper.
+
+Plays the role flash-attn 2 plays in the reference training path
+(reference: modelcompose/train/multimodal_flash_attn_monkey_patch.py:18-121)
+and eager softmax attention in the eval path (reference: modelcompose/model/
+language_model/multimodal_llama.py:295-312).  Instead of varlen unpadding we
+use segment ids: padding tokens carry segment 0, real tokens segment >= 1;
+attention is allowed only within matching segments, optionally causal.
+
+``attention()`` dispatches to the Pallas TPU kernel (ops/flash_attention.py)
+on TPU backends and to the XLA implementation elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention_reference(q, k, v, *, causal: bool = True,
+                        q_segment_ids=None, kv_segment_ids=None,
+                        q_offset: int = 0, sm_scale: Optional[float] = None):
+    """Plain XLA attention with fp32 softmax (matches HF eager semantics).
+
+    Args:
+      q: [B, Lq, H, D]; k, v: [B, S, Hkv, D].
+      q_segment_ids: [B, Lq] int32 (0 = padding) or None.
+      kv_segment_ids: [B, S] int32 (0 = padding) or None.
+      q_offset: absolute position of q[0] within the kv axis (decode steps).
+
+    Returns: [B, Lq, H, D] in q.dtype.
+    """
+    B, Lq, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    logits = jnp.einsum("blhd,bshd->bhls", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+
+    mask = jnp.ones((B, 1, Lq, S), dtype=bool)
+    if causal:
+        q_pos = q_offset + jnp.arange(Lq)[:, None]
+        k_pos = jnp.arange(S)[None, :]
+        mask = mask & (q_pos >= k_pos)[None, None, :, :]
+    if q_segment_ids is not None and kv_segment_ids is not None:
+        seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+        seg = seg & (kv_segment_ids[:, None, :] != 0)
+        mask = mask & seg[:, None, :, :]
+    elif kv_segment_ids is not None:
+        mask = mask & (kv_segment_ids[:, None, None, :] != 0)
+
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhls,bshd->blhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def attention(q, k, v, *, causal: bool = True, q_segment_ids=None,
+              kv_segment_ids=None, q_offset: int = 0,
+              sm_scale: Optional[float] = None, impl: str = "auto"):
+    """Dispatching attention entry point.
+
+    impl: 'auto' (pallas on TPU, xla elsewhere), 'pallas', or 'xla'.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+        return flash_attention(
+            q, k, v, causal=causal, q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids, q_offset=q_offset,
+            sm_scale=sm_scale)
+    return attention_reference(
+        q, k, v, causal=causal, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, q_offset=q_offset, sm_scale=sm_scale)
+
+
+def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None):
+    """Single-token attention against a preallocated KV cache.
+
+    q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D]; kv_len: [B] or
+    scalar number of valid cache entries (the new token's slot included).
+    """
+    B, _, H, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if Hkv != H:
+        rep = H // Hkv
+        k_cache = jnp.repeat(k_cache, rep, axis=2)
+        v_cache = jnp.repeat(v_cache, rep, axis=2)
+    logits = jnp.einsum("bqhd,bshd->bhqs", q, k_cache,
+                        preferred_element_type=jnp.float32) * sm_scale
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 0:
+        kv_len = jnp.broadcast_to(kv_len, (B,))
+    valid = jnp.arange(S)[None, :] < kv_len[:, None]
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqs,bshd->bqhd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

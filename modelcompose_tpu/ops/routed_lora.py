@@ -1,0 +1,80 @@
+"""Routed multi-adapter LoRA linear — the composition primitive.
+
+The reference implements per-modality adapters as a python dict of LoRA
+(A, B) pairs and dispatches per adapter name, then sums the per-adapter
+outputs under one-hot per-token masks (reference: modelcompose/model/
+language_model/multimodal_llama.py:120-160, 262-268).  Because the masks
+partition tokens, that is algebraically
+
+    y[t] = x[t] @ W + sum_a route[t, a] * (x[t] @ A_a) @ B_a
+
+with ``route[t]`` the token's row of the routing table (one-hot with the
+adapter scale folded in for modality tokens; multi-hot over the
+``default-{modal}`` rows for merged-default tokens).
+
+On TPU we keep the adapters stacked — ``A: [n_adapters, in, r]``,
+``B: [n_adapters, r, out]`` — and compute the whole branch as two einsums
+driving the MXU, with no data-dependent control flow.  XLA fuses the
+route-mask multiply into the contraction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def routed_lora_matmul(x, w, lora_a, lora_b, route):
+    """y = x @ w + sum_a route[..., a] * (x @ A_a) @ B_a.
+
+    Args:
+      x:      [..., L, d_in] activations.
+      w:      [d_in, d_out] base weight (JAX layout: y = x @ w).
+      lora_a: [A, d_in, r] stacked adapter down-projections.
+      lora_b: [A, r, d_out] stacked adapter up-projections.
+      route:  [..., L, A] per-token adapter weights (scales folded in), or
+              None to skip the adapter branch entirely.
+
+    Returns:
+      [..., L, d_out] in x.dtype.
+    """
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    if route is not None:
+        u = jnp.einsum("...i,air->...ar", x, lora_a,
+                       preferred_element_type=jnp.float32)
+        u = u * route[..., None].astype(u.dtype)
+        y = y + jnp.einsum("...ar,aro->...o", u.astype(lora_b.dtype), lora_b,
+                           preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def route_weights(route_ids, routing_table):
+    """Expand per-token route-class ids into adapter-weight rows.
+
+    Args:
+      route_ids:     [..., L] int32 route classes (0=default, 1=audio, ...).
+      routing_table: [n_classes, n_adapters] float32.
+
+    Returns:
+      [..., L, n_adapters] float32 adapter weights.
+    """
+    return jnp.take(routing_table, route_ids, axis=0)
+
+
+def fold_default_adapter(w, lora_a, lora_b, default_route):
+    """Fold the decode-time ('default' class) adapter mix densely into w.
+
+    During decode the reference routes every generated token through the
+    'default' class only (reference: multimodal_llama.py:436-438), so the
+    adapter branch is the same rank-r update for every token and can be
+    merged into the base weight once:  W' = W + sum_a c_a * A_a @ B_a.
+
+    Args:
+      w: [d_in, d_out]; lora_a: [A, d_in, r]; lora_b: [A, r, d_out];
+      default_route: [A] the routing-table row for the default class.
+
+    Returns: [d_in, d_out] merged weight, in w.dtype.
+    """
+    delta = jnp.einsum("a,air,aro->io", default_route.astype(jnp.float32),
+                       lora_a.astype(jnp.float32), lora_b.astype(jnp.float32))
+    return (w.astype(jnp.float32) + delta).astype(w.dtype)

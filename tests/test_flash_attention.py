@@ -1,0 +1,97 @@
+"""Pallas flash attention vs XLA reference (kernel runs in interpreter mode
+on the CPU test mesh; same code path compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modelcompose_tpu.ops.attention import attention_reference, decode_attention
+from modelcompose_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, B, L, S, H, Hkv, D):
+    q = jnp.array(rng.standard_normal((B, L, H, D)), jnp.float32)
+    k = jnp.array(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.array(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_reference_small(causal):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, B=2, L=256, S=256, H=2, Hkv=2, D=128)
+    got = flash_attention(q, k, v, causal=causal)
+    want = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_segment_ids_padding():
+    rng = np.random.default_rng(1)
+    B, L = 2, 256
+    q, k, v = _rand_qkv(rng, B=B, L=L, S=L, H=2, Hkv=2, D=128)
+    lengths = np.array([200, 77])
+    seg = np.zeros((B, L), np.int32)
+    for b, n in enumerate(lengths):
+        seg[b, :n] = 1
+    seg = jnp.array(seg)
+    got = flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                          kv_segment_ids=seg)
+    want = attention_reference(q, k, v, causal=True, q_segment_ids=seg,
+                               kv_segment_ids=seg)
+    got, want = np.asarray(got), np.asarray(want)
+    for b, n in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :n], want[b, :n], rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_flash_gqa():
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, B=1, L=256, S=256, H=4, Hkv=2, D=128)
+    got = flash_attention(q, k, v, causal=True)
+    want = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_flash_non_multiple_lengths_and_small_head_dim():
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, B=1, L=130, S=130, H=2, Hkv=2, D=64)
+    got = flash_attention(q, k, v, causal=True)
+    want = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_flash_gradients_flow():
+    rng = np.random.default_rng(4)
+    q, k, v = _rand_qkv(rng, B=1, L=128, S=128, H=1, Hkv=1, D=128)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_decode_attention_matches_full():
+    rng = np.random.default_rng(5)
+    B, S, H, D = 2, 64, 2, 32
+    kv_len = np.array([10, 33])
+    k = jnp.array(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.array(rng.standard_normal((B, S, H, D)), jnp.float32)
+    q = jnp.array(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    got = decode_attention(q, k, v, jnp.array(kv_len))
+    for b in range(B):
+        n = kv_len[b]
+        want = attention_reference(q[b:b + 1], k[b:b + 1, :n], v[b:b + 1, :n],
+                                   causal=False)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-4)

@@ -1,0 +1,152 @@
+"""Golden tests for the routed-LoRA primitive against the reference math
+(LocalLoraLinear.forward semantics, reference: modelcompose/model/
+language_model/multimodal_llama.py:120-160), reimplemented independently in
+numpy."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from modelcompose_tpu.config import (ModelConfig, NUM_ROUTE_CLASSES,
+                                     ROUTE_CLASS_INDEX, tiny_test_config)
+from modelcompose_tpu.ops.routed_lora import (fold_default_adapter,
+                                              route_weights,
+                                              routed_lora_matmul)
+
+
+def _numpy_reference(x, w, A, B, route):
+    """y[t] = x[t] @ w + sum_a route[t,a] * (x[t] @ A_a) @ B_a."""
+    y = x @ w
+    n_adapters = A.shape[0]
+    for a in range(n_adapters):
+        y = y + route[..., a:a + 1] * ((x @ A[a]) @ B[a])
+    return y
+
+
+def _rand_setup(rng, B=2, L=6, d_in=8, d_out=10, n_adapters=3, r=4):
+    x = rng.standard_normal((B, L, d_in)).astype(np.float32)
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.1
+    A = rng.standard_normal((n_adapters, d_in, r)).astype(np.float32) * 0.1
+    Bm = rng.standard_normal((n_adapters, r, d_out)).astype(np.float32) * 0.1
+    return x, w, A, Bm
+
+
+def test_routed_matmul_matches_per_adapter_loop():
+    rng = np.random.default_rng(0)
+    x, w, A, Bm = _rand_setup(rng)
+    route = rng.standard_normal((2, 6, 3)).astype(np.float32)
+    got = routed_lora_matmul(jnp.array(x), jnp.array(w), jnp.array(A),
+                             jnp.array(Bm), jnp.array(route))
+    want = _numpy_reference(x, w, A, Bm, route)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_one_hot_routing_selects_single_adapter():
+    rng = np.random.default_rng(1)
+    x, w, A, Bm = _rand_setup(rng, B=1, L=3, n_adapters=2)
+    # token 0 -> adapter 0 (scale 2.0), token 1 -> adapter 1, token 2 -> none
+    route = np.zeros((1, 3, 2), np.float32)
+    route[0, 0, 0] = 2.0
+    route[0, 1, 1] = 1.0
+    got = np.asarray(routed_lora_matmul(jnp.array(x), jnp.array(w),
+                                        jnp.array(A), jnp.array(Bm),
+                                        jnp.array(route)))
+    base = x @ w
+    np.testing.assert_allclose(got[0, 0], base[0, 0] +
+                               2.0 * (x[0, 0] @ A[0]) @ Bm[0], rtol=1e-5)
+    np.testing.assert_allclose(got[0, 1], base[0, 1] +
+                               (x[0, 1] @ A[1]) @ Bm[1], rtol=1e-5)
+    np.testing.assert_allclose(got[0, 2], base[0, 2], rtol=1e-5)
+
+
+def test_route_none_is_base_only():
+    rng = np.random.default_rng(2)
+    x, w, A, Bm = _rand_setup(rng)
+    got = routed_lora_matmul(jnp.array(x), jnp.array(w), jnp.array(A),
+                             jnp.array(Bm), None)
+    np.testing.assert_allclose(np.asarray(got), x @ w, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_default_matches_routed_default():
+    rng = np.random.default_rng(3)
+    x, w, A, Bm = _rand_setup(rng, B=1, L=4)
+    default_route = np.array([0.5, 0.0, 1.5], np.float32)
+    folded = fold_default_adapter(jnp.array(w), jnp.array(A), jnp.array(Bm),
+                                  jnp.array(default_route))
+    route = np.broadcast_to(default_route, (1, 4, 3))
+    want = _numpy_reference(x, w, A, Bm, route)
+    np.testing.assert_allclose(np.asarray(jnp.array(x) @ folded), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Routing-table semantics (config-level)
+# ---------------------------------------------------------------------------
+
+def test_routing_table_damc_single_modality():
+    cfg = tiny_test_config(mm_vision_encoder="clip", mm_hidden_size=16)
+    names = cfg.adapter_names()
+    assert names == ["default", "vision"]
+    table = cfg.routing_table()
+    scale = cfg.lora_alpha / cfg.lora_r
+    assert table.shape == (NUM_ROUTE_CLASSES, 2)
+    # default class -> default adapter
+    assert table[ROUTE_CLASS_INDEX["default"], 0] == scale
+    assert table[ROUTE_CLASS_INDEX["default"], 1] == 0
+    # vision class -> vision adapter
+    assert table[ROUTE_CLASS_INDEX["vision"], 1] == scale
+    # absent modality -> no adapter at all (base only)
+    assert np.all(table[ROUTE_CLASS_INDEX["audio"]] == 0)
+
+
+def test_adapter_order_matches_reference_infer_modals():
+    # Reference order: default, audio, vision, video, point
+    # (modelcompose/model/multimodal_encoder/builder.py:121-133).
+    cfg = tiny_test_config(mm_vision_encoder="clip", mm_audio_encoder="beats",
+                           mm_video_encoder="lb", mm_point_encoder="pb",
+                           mm_hidden_size=16, mm_audio_hidden_size=16,
+                           mm_video_hidden_size=16, mm_point_hidden_size=16)
+    assert cfg.adapter_names() == ["default", "audio", "vision", "video",
+                                   "point"]
+
+
+def test_routing_table_online_merge_reset():
+    # online-merge-reset: default class fans out over default-{modal} rows
+    # with coefficients folded into the scales (reference:
+    # multimodal_llama.py:92-107, 130-148).
+    cfg = tiny_test_config(
+        mm_vision_encoder="clip", mm_audio_encoder="beats",
+        mm_hidden_size=16, mm_audio_hidden_size=16,
+        reset_scaling_weights="default-audio=0.5,default-vision=0.25")
+    names = cfg.adapter_names()
+    assert names == ["default", "audio", "vision", "default-audio",
+                     "default-vision"]
+    table = cfg.routing_table()
+    scale = cfg.lora_alpha / cfg.lora_r
+    drow = table[ROUTE_CLASS_INDEX["default"]]
+    np.testing.assert_allclose(
+        drow, [0.0, 0.0, 0.0, 0.5 * scale, 0.25 * scale], rtol=1e-6)
+    # modality tokens still use their own adapter at base scale
+    arow = table[ROUTE_CLASS_INDEX["audio"]]
+    np.testing.assert_allclose(arow, [0.0, scale, 0.0, 0.0, 0.0], rtol=1e-6)
+
+
+def test_routing_table_merge_mean():
+    cfg = tiny_test_config(
+        mm_vision_encoder="clip", mm_audio_encoder="beats",
+        mm_hidden_size=16, mm_audio_hidden_size=16,
+        merge_default_weights="mean")
+    table = cfg.routing_table()
+    scale = cfg.lora_alpha / cfg.lora_r
+    drow = table[ROUTE_CLASS_INDEX["default"]]
+    np.testing.assert_allclose(drow, [0, 0, 0, scale / 2, scale / 2],
+                               rtol=1e-6)
+
+
+def test_route_weights_gather():
+    cfg = tiny_test_config(mm_vision_encoder="clip", mm_hidden_size=16)
+    table = jnp.array(cfg.routing_table())
+    ids = jnp.array([[0, ROUTE_CLASS_INDEX["vision"], 0]], jnp.int32)
+    rw = route_weights(ids, table)
+    assert rw.shape == (1, 3, 2)
+    np.testing.assert_allclose(np.asarray(rw[0, 1]),
+                               cfg.routing_table()[ROUTE_CLASS_INDEX["vision"]])
