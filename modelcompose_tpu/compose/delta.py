@@ -1,0 +1,54 @@
+"""Dense LoRA delta materialization for analysis.
+
+Numpy rebuild of the reference's ``scripts/evaluate_delta_weights.py``
+(reference: :8-58): materialize ``B @ A * scale`` per modality from an
+adapter checkpoint, keyed by the base weight name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .state_io import load_adapter_dir
+
+
+def get_delta_weight(lora_a: np.ndarray, lora_b: np.ndarray,
+                     scale: float) -> np.ndarray:
+    """lora_a: [r, d_in]; lora_b: [d_out, r] (torch Linear layout) ->
+    [d_out, d_in] dense delta (reference: evaluate_delta_weights.py:8-15)."""
+    return (np.asarray(lora_b, np.float32) @ np.asarray(lora_a, np.float32)
+            ) * scale
+
+
+def lora_key_to_base_key(lora_key: str, modal: str) -> str:
+    return (lora_key.replace(f".lora_A.{modal}.weight", "")
+            .replace(f".lora_B.{modal}.weight", "") + ".weight")
+
+
+def base_key_to_lora_key(base_key: str, modal: str):
+    a = base_key.replace(".weight", f".lora_A.{modal}.weight")
+    b = base_key.replace(".weight", f".lora_B.{modal}.weight")
+    return a, b
+
+
+def load_delta_weights(path: str, modals: Optional[Sequence[str]] = None
+                       ) -> Dict[str, Dict[str, np.ndarray]]:
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+    scale = config["lora_alpha"] / config["lora_r"]
+    lora = load_adapter_dir(path)
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in lora:
+        if "lora_B" in key:
+            modal = key.split("lora_B.")[1].split(".")[0]
+            if modals is not None and modal not in modals:
+                continue
+            base = lora_key_to_base_key(key, modal)
+            a_key, b_key = base_key_to_lora_key(base, modal)
+            out.setdefault(modal, {})[base] = get_delta_weight(
+                lora[a_key], lora[b_key], scale)
+    return out
