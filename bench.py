@@ -1,0 +1,80 @@
+"""Benchmark: Vicuna-7B decode throughput (tokens/sec/chip) after a routed
+multimodal prefill — the protocol the reference's eval loop fixes
+(greedy, use_cache, batch decode; reference: modelcompose/eval/
+model_multimodal_qa_loader.py:93-102).  Prints ONE JSON line.
+
+vs_baseline compares against a reference-GPU estimate of HF eager decode
+for llama-7B fp16 on A100 (~30 tok/s single-stream); the repo itself
+publishes no numbers (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_TOKS_PER_SEC = 30.0  # single-stream HF A100 estimate
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg, _zeros_params
+    from modelcompose_tpu.core.generate import _decode_step, _prefill
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # Batch 1 matches the reference eval protocol (greedy, batch 1,
+        # use_cache — BASELINE.md); it also bounds the KV cache so the 7B
+        # params (13.5 GB bf16) + cache fit the 16 GB v5e HBM.
+        cfg = _flagship_cfg()
+        B, L, cache_len, steps = 1, 256, 512, 64
+    else:  # CPU smoke: tiny config so the bench always runs
+        from modelcompose_tpu.config import tiny_test_config
+        cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=16)
+        B, L, cache_len, steps = 2, 32, 64, 8
+
+    params = _zeros_params(cfg) if on_tpu else None
+    if params is None:
+        from modelcompose_tpu.core.llama import init_params
+        params = init_params(cfg, jax.random.PRNGKey(0))
+
+    dt = jnp.dtype(cfg.dtype)
+    embeds = jnp.zeros((B, L, cfg.hidden_size), dt)
+    route_ids = jnp.zeros((B, L), jnp.int32)
+    table = jnp.asarray(cfg.routing_table())
+    seg = jnp.ones((B, L), jnp.int32)
+    lengths = jnp.full((B,), L, jnp.int32)
+
+    logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
+                             lengths, cache_len, "auto")
+    kv_lens = lengths
+    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # warmup (compile)
+    logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
+                                          kv_lens, table)
+    jax.block_until_ready(logits)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
+                                              kv_lens, table)
+    jax.block_until_ready(logits)
+    dt_s = time.perf_counter() - t0
+
+    toks_per_sec = B * steps / dt_s
+    result = {
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": round(toks_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_sec / REFERENCE_GPU_TOKS_PER_SEC, 2)
+        if on_tpu else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

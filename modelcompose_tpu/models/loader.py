@@ -1,0 +1,106 @@
+"""Model lifecycle: load composed checkpoints into a runnable MultimodalLM.
+
+Rebuild of the reference's ``load_pretrained_model`` dispatch (reference:
+modelcompose/model/builder.py:27-231, 'multimodal' + model_base path):
+merged ``config.json`` from the composition checkpoint, Vicuna base weights
+from ``model_base``, adapter overlay (``adapter_model.*``, fallback
+``mm_projector.*``, optional ``non_lora_trainables.*``), then towers built
+per config.  Returns ``(tokenizer, model, modal_processors, context_len)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..compose.convert import hf_llama_to_params, load_adapter_into_params
+from ..compose.state_io import load_adapter_dir, load_state
+from ..config import ModelConfig
+from .model import MultimodalLM
+from .projectors import init_projector
+from .towers import build_modal_encoders
+
+
+def load_hf_llama_dir(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load a flat HF Llama state dict from sharded safetensors / torch
+    bins."""
+    state: Dict[str, np.ndarray] = {}
+    st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if st_files:
+        for p in st_files:
+            state.update(load_state(p))
+        return state
+    bin_files = sorted(glob.glob(os.path.join(model_dir,
+                                              "pytorch_model*.bin")))
+    if bin_files:
+        for p in bin_files:
+            state.update(load_state(p))
+        return state
+    npz = os.path.join(model_dir, "model.npz")
+    if os.path.exists(npz):
+        return load_state(npz)
+    raise FileNotFoundError(f"no base model weights under {model_dir}")
+
+
+def load_tokenizer(model_base: str):
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(model_base, use_fast=False)
+    return tok
+
+
+def load_pretrained_model(model_path: str, model_base: Optional[str],
+                          model_name: Optional[str] = None,
+                          load_tokenizer_fn=None):
+    """'multimodal' checkpoints need model_base (reference rule:
+    README.md:96 — basename must contain 'multimodal')."""
+    model_name = model_name or os.path.basename(model_path.rstrip("/"))
+    if "multimodal" not in model_name.lower():
+        raise ValueError(
+            f"model name {model_name!r} must contain 'multimodal' "
+            "(reference: model/builder.py:138)")
+    if model_base is None:
+        raise ValueError("composed checkpoints require --model-base "
+                         "(the Vicuna base)")
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = ModelConfig.from_dict(json.load(f))
+
+    base_state = load_hf_llama_dir(model_base)
+    params = hf_llama_to_params(base_state, cfg)
+    del base_state
+
+    # LoRA freshly zero/kaiming-init then overlaid (reference:
+    # builder.py:150-163, strict=False).
+    projector_params: Dict[str, dict] = {}
+    adapter = load_adapter_dir(model_path)
+    leftovers = load_adapter_into_params(params, adapter, cfg,
+                                         projector_params)
+    non_lora = os.path.join(model_path, "non_lora_trainables.bin")
+    if os.path.exists(non_lora):
+        extra = load_state(non_lora)
+        extra = {k.replace("base_model.model.", "", 1): v
+                 for k, v in extra.items()}
+        leftovers += load_adapter_into_params(params, extra, cfg,
+                                              projector_params)
+    if leftovers:
+        print(f"[loader] {len(leftovers)} unconsumed adapter keys "
+              f"(first: {leftovers[:3]})")
+
+    encoders = build_modal_encoders(cfg)
+    import jax
+    for modal in cfg.modalities():
+        if modal not in projector_params:
+            projector_params[modal] = init_projector(
+                cfg.projector_type(modal), jax.random.PRNGKey(0),
+                encoders[modal].hidden_size, cfg.hidden_size)
+
+    model = MultimodalLM(cfg, params, encoders, projector_params)
+    if load_tokenizer_fn is None:
+        load_tokenizer_fn = load_tokenizer  # late-bound for test injection
+    tokenizer = load_tokenizer_fn(model_base) if model_base else None
+    context_len = 2048  # reference: builder.py:226-229
+    return tokenizer, model, model.modal_processors(), context_len

@@ -1,0 +1,167 @@
+"""Top-level multimodal LM: towers + projectors + routed backbone + packing.
+
+TPU-native counterpart of the reference's ``MultimodalLlamaForCausalLM`` +
+``MultimodalMetaForCausalLM`` glue (reference: modelcompose/model/
+multimodal_arch.py:169-459, language_model/multimodal_llama.py:622-770).
+The class is a thin host-side container (params + configs + jitted fns);
+everything traced is functional.
+
+Pipeline per batch:
+1. ``encode_modal_inputs`` — each modality's frozen tower + trainable
+   projector, video flattened b×t×n×d -> b×(t·n)×d (reference:
+   multimodal_arch.py:236-240), prefix/suffix soft tokens attached
+   (reference: :245-253).
+2. ``core.packing.plan_pack`` — host-side static-shape splice plan.
+3. ``assemble_embeds`` + routed forward / generate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..core import generate as generation
+from ..core.llama import forward, init_params
+from ..core.packing import PackPlan, assemble_embeds, plan_pack
+from ..constants import IGNORE_INDEX
+from .projectors import apply_projector, init_projector, output_len
+from .towers import build_modal_encoders
+
+
+class MultimodalLM:
+    def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
+                 encoders: Dict[str, Any],
+                 projectors: Dict[str, Dict[str, Any]]):
+        self.cfg = cfg
+        self.params = params
+        self.encoders = encoders
+        self.projectors = projectors
+        self.routing_table = cfg.routing_table()
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def random_init(cls, cfg: ModelConfig, rng=None) -> "MultimodalLM":
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_lm, k_enc, k_proj = jax.random.split(rng, 3)
+        params = init_params(cfg, k_lm)
+        encoders = build_modal_encoders(cfg, k_enc)
+        projectors = {}
+        for modal in cfg.modalities():
+            k_proj, sub = jax.random.split(k_proj)
+            projectors[modal] = init_projector(
+                cfg.projector_type(modal), sub,
+                encoders[modal].hidden_size, cfg.hidden_size,
+                dtype=jnp.dtype(cfg.dtype))
+        return cls(cfg, params, encoders, projectors)
+
+    # ------------------------------------------------------------------
+    def modal_processors(self) -> Dict[str, Any]:
+        return {m: enc.modal_processor for m, enc in self.encoders.items()}
+
+    def feature_span_len(self, modal: str) -> int:
+        """Packed span length for one instance of a modality: projector
+        output length (+ temporal flattening for video) + prefix/suffix."""
+        enc = self.encoders[modal]
+        t = enc.feature_len
+        if modal == "video":
+            t = enc.num_frames * enc.tokens_per_frame
+        t_out = output_len(self.cfg.projector_type(modal), t)
+        return t_out + self.cfg.prefix_len(modal) + self.cfg.suffix_len(modal)
+
+    def encode_modal_inputs(self, modal_inputs: Dict[str, Any]
+                            ) -> Dict[str, jnp.ndarray]:
+        """{modal: batched raw inputs} -> {modal: [n, span, H]} projected
+        features with prefix/suffix attached (reference:
+        multimodal_arch.py:197-268).  Towers run under stop_gradient —
+        they are frozen, only projectors train."""
+        feats: Dict[str, jnp.ndarray] = {}
+        for modal, raw in modal_inputs.items():
+            enc = self.encoders[modal]
+            if modal == "audio":
+                out = enc.encode(**raw) if isinstance(raw, dict) \
+                    else enc.encode(raw)
+                x = out[0] if isinstance(out, tuple) else out
+            elif modal == "video":
+                x = enc.encode(raw)  # [b, t, n, d]
+                b, t, n, d = x.shape
+                x = x.reshape(b, t * n, d)
+            else:
+                x = enc.encode(raw)
+            x = jax.lax.stop_gradient(x)
+            x = apply_projector(self.cfg.projector_type(modal),
+                                self.projectors[modal], x)
+            parts = []
+            b = x.shape[0]
+            prefix = (self.params.get("prefix_tokens") or {}).get(modal)
+            suffix = (self.params.get("suffix_tokens") or {}).get(modal)
+            if prefix is not None:
+                parts.append(jnp.broadcast_to(prefix[None],
+                                              (b,) + prefix.shape))
+            parts.append(x.astype(self.params["embed_tokens"].dtype))
+            if suffix is not None:
+                parts.append(jnp.broadcast_to(suffix[None],
+                                              (b,) + suffix.shape))
+            feats[modal] = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+                else parts[0]
+        return feats
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, input_ids: Sequence[np.ndarray],
+                      modal_inputs: Dict[str, Any],
+                      labels: Optional[Sequence[np.ndarray]] = None,
+                      bucket_len: Optional[int] = None
+                      ) -> Tuple[jnp.ndarray, PackPlan]:
+        feats = self.encode_modal_inputs(modal_inputs)
+        feat_spans = {m: (int(f.shape[0]), int(f.shape[1]))
+                      for m, f in feats.items()}
+        plan = plan_pack(list(input_ids), feat_spans, labels=labels,
+                         bucket_len=bucket_len)
+        embeds = assemble_embeds(self.params["embed_tokens"], plan, feats)
+        return embeds, plan
+
+    # ------------------------------------------------------------------
+    def generate(self, input_ids: Sequence[np.ndarray],
+                 modal_inputs: Dict[str, Any],
+                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 rng=None, bucket_len: Optional[int] = None,
+                 attn_impl: str = "auto") -> List[List[int]]:
+        embeds, plan = self.prepare_batch(input_ids, modal_inputs,
+                                          bucket_len=bucket_len)
+        route_ids = plan.route_ids if self.cfg.routing_active() else None
+        return generation.generate(
+            self.params, self.cfg, embeds, lengths=plan.lengths,
+            route_ids=route_ids, routing_table=self.routing_table,
+            segment_ids=plan.segment_ids, max_new_tokens=max_new_tokens,
+            temperature=temperature, rng=rng, attn_impl=attn_impl)
+
+    # ------------------------------------------------------------------
+    def loss(self, input_ids: Sequence[np.ndarray],
+             labels: Sequence[np.ndarray],
+             modal_inputs: Dict[str, Any],
+             bucket_len: Optional[int] = None,
+             attn_impl: str = "auto") -> jnp.ndarray:
+        embeds, plan = self.prepare_batch(input_ids, modal_inputs,
+                                          labels=labels,
+                                          bucket_len=bucket_len)
+        route_ids = plan.route_ids if self.cfg.routing_active() else None
+        logits, _ = forward(
+            self.params, self.cfg, embeds, route_ids=route_ids,
+            routing_table=self.routing_table,
+            segment_ids=plan.segment_ids, attn_impl=attn_impl)
+        return causal_lm_loss(logits, jnp.asarray(plan.labels))
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shifted CE with IGNORE_INDEX masking (reference:
+    multimodal_llama.py:723-733)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)

@@ -1,0 +1,102 @@
+"""Device mesh + GSPMD sharding specs.
+
+The reference scales with DeepSpeed ZeRO data parallelism and has only a
+vestigial ``pretraining_tp`` (SURVEY.md §2.10).  The TPU rebuild does it the
+GSPMD way: one ``jax.sharding.Mesh`` with a ``data`` axis (batch / optimizer
+sharding — the ZeRO role) and a ``model`` axis (Megatron-style tensor
+parallelism over ICI — q/k/v/gate/up shard their output dim, o/down shard
+their input dim, LoRA B shards congruently with its base weight so the
+routed-adapter einsum needs no extra collectives; the LoRA A bottleneck
+[*, r] is replicated).  XLA inserts all collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * model
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def default_mesh() -> Mesh:
+    """All devices on the data axis (pure DP) — the safe default."""
+    return make_mesh(data=len(jax.devices()), model=1)
+
+
+# ---------------------------------------------------------------------------
+# Sharding specs
+# ---------------------------------------------------------------------------
+
+def param_pspecs(params: Dict[str, Any], zero_shard_data: bool = False
+                 ) -> Dict[str, Any]:
+    """PartitionSpec tree matching core/llama.py's stacked param pytree.
+
+    Layer-stacked tensors have a leading layer axis (unsharded).  TP axis
+    assignments (columns of the table in SURVEY.md §2.10):
+
+      q/k/v/gate/up  w: [N, in, out]        -> (None, None, 'model')
+      o/down         w: [N, in, out]        -> (None, 'model', None)
+      lora_b (col-parallel base)            -> (None, None, None, 'model')
+      lora_b (row-parallel base)            -> replicated (output summed
+                                               after contraction; r is tiny)
+      lora_a                                -> replicated
+      embed_tokens [V, H]                   -> ('model', None)
+      lm_head [H, V]                        -> (None, 'model')
+    """
+    col = {"w": P(None, None, "model"),
+           "lora_a": P(),
+           "lora_b": P(None, None, None, "model")}
+    row = {"w": P(None, "model", None),
+           "lora_a": P(),
+           "lora_b": P()}
+    specs: Dict[str, Any] = {
+        "embed_tokens": P("model", None),
+        "layers": {
+            "input_layernorm": P(),
+            "post_attention_layernorm": P(),
+            "attn": {"q": dict(col), "k": dict(col), "v": dict(col),
+                     "o": dict(row)},
+            "mlp": {"gate": dict(col), "up": dict(col), "down": dict(row)},
+        },
+        "norm": P(),
+        "lm_head": P(None, "model"),
+    }
+    for extra in ("prefix_tokens", "suffix_tokens"):
+        if extra in params:
+            specs[extra] = {m: P() for m in params[extra]}
+    _ = zero_shard_data
+    return specs
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis over the data mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(tree, mesh: Mesh):
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicated(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

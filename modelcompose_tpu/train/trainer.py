@@ -1,0 +1,265 @@
+"""Training: DAMC finetune / projector pretrain on optax.
+
+Rebuild of the reference's trainable-param policy and optimizer grouping
+(reference: modelcompose/train/train_multimodal.py:424-466 and
+train/llava_trainer.py:193-329):
+
+- **Trainable policy** by ``lora_strategy``: projectors + prefix/suffix soft
+  tokens always train; 'same' trains only the 'default' adapter; 'modal'
+  trains per-modality adapters; 'modal+language' trains both; base Llama
+  weights and encoder towers are always frozen.  ``tune_mm_mlp_adapter``
+  (stage-1 pretrain) trains projectors only.
+- **LR groups**: ``mm_projector_lr`` for projectors, ``mm_language_lr`` for
+  the 'default' adapter, ``learning_rate`` for modal adapters and soft
+  tokens; warmup + cosine schedule.
+- Frozen leaves get ``optax.set_to_zero`` (no moment memory — the ZeRO-ish
+  win); per-adapter-row lrs inside a stacked LoRA leaf are applied by a
+  row-scale transform after Adam.
+
+The jitted ``train_step`` is sharding-agnostic: put params/batch on a mesh
+(parallel/mesh.py) and GSPMD handles DP/TP collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig
+from ..core.llama import forward
+from ..core.packing import assemble_embeds
+from ..models.model import causal_lm_loss
+from ..models.projectors import apply_projector
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 2e-4
+    mm_projector_lr: Optional[float] = None   # default: learning_rate
+    mm_language_lr: Optional[float] = None    # default: learning_rate
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: Optional[float] = None
+    tune_mm_mlp_adapter: bool = False  # stage-1: projector-only
+
+    def proj_lr(self) -> float:
+        return self.mm_projector_lr if self.mm_projector_lr is not None \
+            else self.learning_rate
+
+    def lang_lr(self) -> float:
+        return self.mm_language_lr if self.mm_language_lr is not None \
+            else self.learning_rate
+
+
+def normalized_warmup_cosine(warmup_steps: int, total_steps: int):
+    """Multiplier schedule in [0, 1] (HF cosine-with-warmup shape)."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / warmup_steps
+        denom = jnp.maximum(total_steps - warmup_steps, 1)
+        progress = (step - warmup_steps) / denom
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(progress, 0.0, 1.0)))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return sched
+
+
+def adapter_row_lrs(cfg: ModelConfig, tc: TrainConfig) -> np.ndarray:
+    """Absolute lr per stacked-adapter row (0 = frozen), implementing the
+    reference's strategy table (train_multimodal.py:424-466)."""
+    names = cfg.adapter_names()
+    lrs = np.zeros(len(names), np.float32)
+    if tc.tune_mm_mlp_adapter or cfg.lora_strategy in (None, "none"):
+        return lrs
+    for i, name in enumerate(names):
+        if name == "default":
+            if cfg.lora_strategy in ("same", "modal+language"):
+                lrs[i] = tc.lang_lr() if cfg.lora_strategy == \
+                    "modal+language" else tc.learning_rate
+        elif name.startswith("default-"):
+            lrs[i] = 0.0  # merge-spawned rows never train
+        else:  # modality adapters
+            if cfg.lora_strategy in ("modal", "modal+language"):
+                lrs[i] = tc.learning_rate
+    return lrs
+
+
+def _scale_adapter_rows(row_lrs: np.ndarray):
+    """Multiply LoRA updates rowwise by -row_lr (Adam+schedule output is a
+    normalized direction)."""
+    scales = jnp.asarray(row_lrs)
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def scale(u):
+            # u: [N, A, d1, d2] — adapter axis is 1
+            return u * (-scales)[None, :, None, None]
+
+        return jax.tree.map(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
+                     tc: TrainConfig) -> Dict[str, Any]:
+    """Label pytree over {'backbone':..., 'projectors':...}."""
+    backbone = train_params["backbone"]
+
+    def label_backbone(path_leaf):
+        return path_leaf
+
+    labels = jax.tree.map(lambda _: "frozen", train_params)
+    lb = labels["backbone"]
+    lora_on = not tc.tune_mm_mlp_adapter and \
+        cfg.lora_strategy not in (None, "none")
+    for grp in ("attn", "mlp"):
+        for name in lb["layers"][grp]:
+            if lora_on:
+                lb["layers"][grp][name]["lora_a"] = "lora"
+                lb["layers"][grp][name]["lora_b"] = "lora"
+    for kind in ("prefix_tokens", "suffix_tokens"):
+        if kind in backbone and not tc.tune_mm_mlp_adapter:
+            labels["backbone"][kind] = jax.tree.map(lambda _: "soft",
+                                                    backbone[kind])
+    labels["projectors"] = jax.tree.map(lambda _: "proj",
+                                        train_params["projectors"])
+    _ = label_backbone
+    return labels
+
+
+def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
+                   train_params: Dict[str, Any]):
+    warmup = int(tc.warmup_ratio * tc.total_steps)
+    sched = normalized_warmup_cosine(warmup, tc.total_steps)
+    row_lrs = adapter_row_lrs(cfg, tc)
+
+    def adam():
+        return optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2,
+                                   eps=tc.adam_eps)
+
+    def group(lr):
+        chain = [adam()]
+        if tc.weight_decay:
+            chain.append(optax.add_decayed_weights(tc.weight_decay))
+        chain += [optax.scale_by_schedule(sched), optax.scale(-lr)]
+        return optax.chain(*chain)
+
+    lora_chain = optax.chain(adam(), optax.scale_by_schedule(sched),
+                             _scale_adapter_rows(row_lrs))
+    transforms = {
+        "frozen": optax.set_to_zero(),
+        "lora": lora_chain,
+        "proj": group(tc.proj_lr()),
+        "soft": group(tc.learning_rate),
+    }
+    labels = trainable_labels(train_params, cfg, tc)
+    tx = optax.multi_transform(transforms, labels)
+    if tc.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), tx)
+    return tx, labels
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any         # {'backbone':..., 'projectors':...}
+    opt_state: Any
+    step: jax.Array
+
+
+def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
+                     projector_params) -> TrainState:
+    train_params = {"backbone": backbone_params,
+                    "projectors": projector_params}
+    tx, _ = make_optimizer(cfg, tc, train_params)
+    opt_state = tx.init(train_params)
+    return TrainState(params=train_params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def multimodal_loss_from_features(train_params, cfg: ModelConfig,
+                                  routing_table, batch,
+                                  attn_impl: str = "auto"):
+    """Loss over a pre-encoded batch.
+
+    batch: dict with 'encoder_features' {modal: [n, T_enc, d_enc]} (frozen
+    tower outputs), 'plan' arrays (token_ids/feat_idx/is_feat/route_ids/
+    labels/segment_ids as jnp arrays), and 'feat_layout'.
+    The projector runs *inside* the loss so its gradient flows.
+    """
+    backbone = train_params["backbone"]
+    projectors = train_params["projectors"]
+    feats = {}
+    for modal, x in batch["encoder_features"].items():
+        y = apply_projector(cfg.projector_type(modal), projectors[modal],
+                            jax.lax.stop_gradient(x))
+        parts = []
+        b = y.shape[0]
+        prefix = (backbone.get("prefix_tokens") or {}).get(modal)
+        suffix = (backbone.get("suffix_tokens") or {}).get(modal)
+        if prefix is not None:
+            parts.append(jnp.broadcast_to(prefix[None], (b,) + prefix.shape))
+        parts.append(y.astype(backbone["embed_tokens"].dtype))
+        if suffix is not None:
+            parts.append(jnp.broadcast_to(suffix[None], (b,) + suffix.shape))
+        feats[modal] = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+            else parts[0]
+
+    class _Plan:  # duck-typed PackPlan view over device arrays
+        token_ids = batch["token_ids"]
+        feat_idx = batch["feat_idx"]
+        is_feat = batch["is_feat"]
+        segment_ids = batch["segment_ids"]
+        feat_layout = batch["feat_layout"]
+
+    embeds = assemble_embeds(backbone["embed_tokens"], _Plan, feats)
+    route_ids = batch.get("route_ids") if cfg.routing_active() else None
+    logits, _ = forward(backbone, cfg, embeds, route_ids=route_ids,
+                        routing_table=routing_table,
+                        segment_ids=batch["segment_ids"],
+                        attn_impl=attn_impl)
+    return causal_lm_loss(logits, batch["labels"])
+
+
+def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
+                    attn_impl: str = "auto", donate: bool = True):
+    """donate=True frees the old TrainState's buffers each step (the
+    production setting); pass False when the caller keeps references to the
+    initial params (tests)."""
+    routing_table = jnp.asarray(cfg.routing_table())
+
+    @functools.partial(jax.jit, static_argnames=("feat_layout",),
+                       donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: Dict[str, Any],
+                   feat_layout) -> tuple:
+        batch = dict(batch)
+        batch["feat_layout"] = list(feat_layout)
+
+        def loss_fn(train_params):
+            return multimodal_loss_from_features(
+                train_params, cfg, routing_table, batch, attn_impl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, opt_state=new_opt,
+                          step=state.step + 1), loss
+
+    return train_step

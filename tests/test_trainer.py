@@ -1,0 +1,158 @@
+"""Training policy + sharded train step
+(reference: modelcompose/train/train_multimodal.py:424-466,
+llava_trainer.py:193-329)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from modelcompose_tpu.config import tiny_test_config
+from modelcompose_tpu.constants import IGNORE_INDEX, MODAL_TOKEN_INDEXES
+from modelcompose_tpu.core.packing import plan_pack
+from modelcompose_tpu.models.model import MultimodalLM
+from modelcompose_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                            param_pspecs, shard_params)
+from modelcompose_tpu.train.trainer import (TrainConfig, adapter_row_lrs,
+                                            init_train_state,
+                                            make_optimizer, make_train_step,
+                                            normalized_warmup_cosine)
+
+IMG = MODAL_TOKEN_INDEXES["vision"]
+
+
+def _make_batch(model, B=2):
+    rs = np.random.RandomState(0)
+    pixels = rs.rand(B, 28, 28, 3).astype(np.float32)
+    enc_feats = model.encoders["vision"].encode(pixels)
+    ids = [np.array([1, IMG, 7, 8]) for _ in range(B)]
+    labels = [np.array([-100, -100, 7, 8]) for _ in range(B)]
+    span = model.feature_span_len("vision")
+    plan = plan_pack(ids, {"vision": (B, span)}, labels=labels,
+                     bucket_len=16)
+    batch = {
+        "encoder_features": {"vision": jnp.asarray(enc_feats)},
+        "token_ids": jnp.asarray(plan.token_ids),
+        "feat_idx": jnp.asarray(plan.feat_idx),
+        "is_feat": jnp.asarray(plan.is_feat),
+        "route_ids": jnp.asarray(plan.route_ids),
+        "labels": jnp.asarray(plan.labels),
+        "segment_ids": jnp.asarray(plan.segment_ids),
+    }
+    return batch, tuple(plan.feat_layout)
+
+
+@pytest.fixture(scope="module")
+def vision_model():
+    cfg = tiny_test_config(mm_vision_encoder="test:32x2", mm_hidden_size=32,
+                           mm_projector_type="mlp2x_gelu",
+                           local_prefix_tokens=1, local_suffix_tokens=1)
+    return MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+
+
+def test_adapter_row_lrs_strategies():
+    tc = TrainConfig(learning_rate=1e-3, mm_language_lr=1e-5)
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                           lora_strategy="modal+language")
+    lrs = adapter_row_lrs(cfg, tc)  # [default, vision]
+    np.testing.assert_allclose(lrs, [1e-5, 1e-3])
+
+    cfg2 = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                            lora_strategy="modal")
+    np.testing.assert_allclose(adapter_row_lrs(cfg2, tc), [0, 1e-3])
+
+    cfg3 = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                            lora_strategy="same")
+    np.testing.assert_allclose(adapter_row_lrs(cfg3, tc), [1e-3, 0])
+
+    tc_stage1 = TrainConfig(tune_mm_mlp_adapter=True)
+    np.testing.assert_allclose(adapter_row_lrs(cfg, tc_stage1), [0, 0])
+
+
+def test_schedule_shape():
+    sched = normalized_warmup_cosine(10, 100)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert float(sched(100)) < 1e-6
+    assert 0.4 < float(sched(55)) < 0.6
+
+
+def test_train_steps_decrease_loss_and_freeze_base(vision_model):
+    model = vision_model
+    tc = TrainConfig(learning_rate=5e-3, mm_projector_lr=5e-3,
+                     mm_language_lr=5e-3, total_steps=20, warmup_ratio=0.0)
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    tx, labels = make_optimizer(model.cfg, tc, state.params)
+    # re-init opt state with the same tx used by the step
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    step = make_train_step(model.cfg, tc, tx, attn_impl="xla", donate=False)
+
+    batch, layout = _make_batch(model)
+    base_w_before = np.asarray(
+        state.params["backbone"]["layers"]["attn"]["q"]["w"])
+    lora_before = np.asarray(
+        state.params["backbone"]["layers"]["attn"]["q"]["lora_a"])
+    proj_before = np.asarray(state.params["projectors"]["vision"]
+                             ["layers"][0]["w"])
+
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, batch, layout)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["layers"]["attn"]["q"]["w"]),
+        base_w_before)  # base frozen
+    assert not np.allclose(
+        np.asarray(state.params["backbone"]["layers"]["attn"]["q"]["lora_a"]),
+        lora_before)  # adapters moved
+    assert not np.allclose(
+        np.asarray(state.params["projectors"]["vision"]["layers"][0]["w"]),
+        proj_before)  # projector moved
+
+
+def test_stage1_projector_only(vision_model):
+    model = vision_model
+    tc = TrainConfig(learning_rate=5e-3, total_steps=10,
+                     tune_mm_mlp_adapter=True, warmup_ratio=0.0)
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    tx, _ = make_optimizer(model.cfg, tc, state.params)
+    step = make_train_step(model.cfg, tc, tx, attn_impl="xla", donate=False)
+    batch, layout = _make_batch(model)
+    lora_before = np.asarray(
+        state.params["backbone"]["layers"]["attn"]["q"]["lora_a"])
+    prefix_before = np.asarray(
+        state.params["backbone"]["prefix_tokens"]["vision"])
+    state, _ = step(state, batch, layout)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["layers"]["attn"]["q"]["lora_a"]),
+        lora_before)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["prefix_tokens"]["vision"]),
+        prefix_before)
+
+
+def test_sharded_train_step_on_mesh(vision_model):
+    model = vision_model
+    mesh = make_mesh(data=4, model=2)
+    params = shard_params(model.params, mesh)
+    tc = TrainConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0)
+    state = init_train_state(model.cfg, tc, params, model.projectors)
+    tx, _ = make_optimizer(model.cfg, tc, state.params)
+    step = make_train_step(model.cfg, tc, tx, attn_impl="xla", donate=False)
+    batch, layout = _make_batch(model, B=4)
+    bs = batch_sharding(mesh)
+    batch = {k: (jax.device_put(v, bs) if k != "encoder_features" else
+                 {m: jax.device_put(f, bs) for m, f in v.items()})
+             for k, v in batch.items()}
+    with mesh:
+        state, loss = step(state, batch, layout)
+    assert np.isfinite(float(loss))
+
+
+def test_param_pspecs_cover_tree(vision_model):
+    specs = param_pspecs(vision_model.params)
+    jax.tree.map(lambda a, b: None, vision_model.params, specs,
+                 is_leaf=lambda x: hasattr(x, "ndim") or
+                 type(x).__name__ == "PartitionSpec")
