@@ -21,7 +21,7 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg, _zeros_params
-    from modelcompose_tpu.core.generate import _decode_step, _prefill
+    from modelcompose_tpu.core.generate import _decode_loop, _prefill
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -47,24 +47,36 @@ def main():
     seg = jnp.ones((B, L), jnp.int32)
     lengths = jnp.full((B,), L, jnp.int32)
 
-    logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
-                             lengths, cache_len, "auto")
-    kv_lens = lengths
-    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # The whole decode runs device-side in one compiled lax.scan
+    # (core/generate._decode_loop); timing syncs via an actual
+    # device-to-host fetch because block_until_ready does not reliably
+    # synchronize through the axon relay.
+    rng = jax.random.PRNGKey(0)
 
-    # warmup (compile)
-    logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
-                                          kv_lens, table)
-    jax.block_until_ready(logits)
+    def run():
+        logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
+                                 lengths, cache_len, "auto")
+        tokens = _decode_loop(params, cfg, cache, logits, lengths, table,
+                              rng, steps, -1, 0.0)
+        return np.asarray(tokens)  # D2H fetch = hard sync
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
-                                              kv_lens, table)
-    jax.block_until_ready(logits)
-    dt_s = time.perf_counter() - t0
+    run()  # compile warmup
+    t_total0 = time.perf_counter()
+    run()
+    t_total = time.perf_counter() - t_total0  # prefill+decode, one sync
 
+    # isolate prefill cost to subtract it from the decode timing
+    def run_prefill():
+        logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
+                                 lengths, cache_len, "auto")
+        return np.asarray(logits[:, :2])
+
+    run_prefill()
+    t_p0 = time.perf_counter()
+    run_prefill()
+    t_prefill = time.perf_counter() - t_p0
+
+    dt_s = max(t_total - t_prefill, 1e-9)
     toks_per_sec = B * steps / dt_s
     result = {
         "metric": "decode_tokens_per_sec_per_chip",

@@ -39,6 +39,46 @@ def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
     return last[:, 0], cache
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_steps", "temperature"),
+                   donate_argnums=(2,))
+def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
+                 routing_table, rng, max_steps: int, eos_id,
+                 temperature: float):
+    """Device-side greedy/sampled decode: the whole token loop runs inside
+    one compiled program (lax.scan over steps), so no host round-trip per
+    token — the TPU-native replacement for HF generate's python loop.
+    Returns [B, max_steps] token ids (positions after EOS hold eos_id)."""
+    B = first_logits.shape[0]
+    eos = jnp.asarray(eos_id, jnp.int32)
+
+    def pick(logits, key):
+        if temperature and temperature > 0.0:
+            return jax.random.categorical(
+                key, logits / temperature, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        cache, logits, kv_lens, done, key = carry
+        key, sub = jax.random.split(key)
+        tokens = pick(logits, sub)
+        tokens = jnp.where(done, eos, tokens)
+        new_done = done | (tokens == eos)
+        embeds = jnp.take(params["embed_tokens"], tokens, axis=0)[:, None]
+        positions = kv_lens[:, None].astype(jnp.int32)
+        logits, cache = forward(
+            params, cfg, embeds, route_ids=None,
+            routing_table=routing_table, positions=positions, cache=cache,
+            cache_write_pos=kv_lens, kv_lens=kv_lens + 1)
+        return (cache, logits[:, 0], kv_lens + 1, new_done, key), tokens
+
+    done0 = jnp.zeros((B,), bool)
+    (_, _, _, _, _), tokens = jax.lax.scan(
+        step, (cache, first_logits, kv_lens, done0, rng), None,
+        length=max_steps)
+    return tokens.T  # [B, max_steps]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _decode_step(params, cfg: ModelConfig, cache, tokens, kv_lens,
                  routing_table):
@@ -57,7 +97,7 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
              route_ids=None, routing_table=None, segment_ids=None,
              max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
              temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
-             attn_impl: str = "auto"):
+             attn_impl: str = "auto", device_loop: bool = True):
     """Generate token ids.
 
     Args:
@@ -83,6 +123,23 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
     logits, cache = _prefill(params, cfg, inputs_embeds, route_ids,
                              routing_table, segment_ids, lengths, cache_len,
                              attn_impl)
+
+    if device_loop:
+        # One compiled program for the whole decode; a single host sync.
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        tokens = _decode_loop(params, cfg, cache, logits, lengths,
+                              routing_table, rng, max_new_tokens,
+                              -1 if eos is None else int(eos),
+                              float(temperature))
+        host = np.asarray(tokens)
+        outputs = []
+        for b in range(B):
+            row = host[b].tolist()
+            if eos is not None and eos in row:
+                row = row[:row.index(eos)]
+            outputs.append(row)
+        return outputs
 
     kv_lens = lengths
     outputs = [[] for _ in range(B)]

@@ -34,6 +34,17 @@ def default_mesh() -> Mesh:
     return make_mesh(data=len(jax.devices()), model=1)
 
 
+def mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
+    """Pure-DP mesh whose data axis divides the global batch (the largest
+    such divisor that fits the device count)."""
+    n = len(jax.devices()) // model
+    data = 1
+    for d in range(1, n + 1):
+        if batch_size % d == 0:
+            data = d
+    return make_mesh(data=data, model=model)
+
+
 # ---------------------------------------------------------------------------
 # Sharding specs
 # ---------------------------------------------------------------------------

@@ -1,0 +1,187 @@
+"""Model worker: loads a composed checkpoint and serves streamed generation.
+
+Rebuild of the reference's worker (reference: modelcompose/serve/
+model_worker.py:37-243) on aiohttp: registration + 15 s heartbeats
+(reference: constants.py:2), a semaphore concurrency limit, and
+``/worker_generate_stream`` producing b"\\0"-delimited JSON chunks.  Unlike
+the reference — whose worker only wires the image path
+(``is_multimodal = 'llava' in name``, reference: model_worker.py:67) — this
+worker serves **all** modalities: the request carries
+``modal_inputs: {modal: [base64/np lists]}`` which are run through the
+towers and packed exactly like the eval path.
+
+Usage: python -m modelcompose_tpu.serve.model_worker \
+    --model-path ckpt --model-base vicuna --controller http://...:21001 \
+    --host 0.0.0.0 --port 21002 --worker-address http://...:21002
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+
+import numpy as np
+from aiohttp import web
+
+from ..constants import WORKER_HEART_BEAT_INTERVAL
+from ..data.tokenization import tokenizer_modal_token
+from ..utils.logging import build_logger
+
+logger = build_logger("model_worker", "model_worker.log")
+
+GB = 1 << 30
+
+
+class ModelWorker:
+    def __init__(self, controller_addr, worker_addr, model_path, model_base,
+                 model_name=None, limit_concurrency: int = 5,
+                 no_register: bool = False, loader=None):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = uuid.uuid4().hex[:6]
+        if loader is None:
+            from ..models.loader import load_pretrained_model
+            loader = load_pretrained_model
+        self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
+        (self.tokenizer, self.model, self.modal_processors,
+         self.context_len) = loader(model_path, model_base, self.model_name)
+        self.semaphore = threading.Semaphore(limit_concurrency)
+        self.queue_length = 0
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(
+                target=self.heart_beat_worker, daemon=True)
+            self.heart_beat_thread.start()
+
+    # -- controller plumbing (reference: model_worker.py:75-106) ------
+    def register_to_controller(self):
+        import requests
+        url = self.controller_addr + "/register_worker"
+        data = {"worker_name": self.worker_addr, "check_heart_beat": True,
+                "worker_status": self.status()}
+        r = requests.post(url, json=data, timeout=5)
+        assert r.status_code == 200, r.text
+
+    def heart_beat_worker(self):
+        import requests
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                requests.post(self.controller_addr + "/receive_heart_beat",
+                              json={"worker_name": self.worker_addr,
+                                    "queue_length": self.queue_length},
+                              timeout=5)
+            except Exception as e:
+                logger.error(f"heart beat error: {e}")
+
+    def status(self):
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.queue_length}
+
+    # -- generation ----------------------------------------------------
+    def decode_modal_inputs(self, modal_inputs: dict) -> dict:
+        """Request payloads: vision as base64 PNG/JPEG; audio/video/point as
+        nested lists or base64 npy."""
+        out = {}
+        for modal, items in (modal_inputs or {}).items():
+            proc = self.modal_processors[modal]
+            if modal == "vision":
+                from PIL import Image
+                imgs = [Image.open(io.BytesIO(base64.b64decode(x)))
+                        .convert("RGB") for x in items]
+                from ..data.image_processing import process_images
+                out[modal] = process_images(imgs, proc,
+                                            image_aspect_ratio="pad")
+            elif modal == "audio":
+                arrays = [np.asarray(x, np.float32) for x in items]
+                feats, mask = proc(arrays)
+                out[modal] = {"audio_inputs": feats,
+                              "audio_padding_mask": mask}
+            else:
+                out[modal] = np.asarray(items, np.float32)
+        return out
+
+    def generate_stream(self, params: dict):
+        prompt = params["prompt"]
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        temperature = float(params.get("temperature", 1.0))
+        stop_str = params.get("stop")
+        modal_inputs = self.decode_modal_inputs(params.get("modal_inputs"))
+
+        ids = np.asarray(tokenizer_modal_token(prompt, self.tokenizer),
+                         np.int64)
+        self.queue_length += 1
+        try:
+            import jax
+            tokens = self.model.generate(
+                [ids], modal_inputs, max_new_tokens=max_new_tokens,
+                temperature=temperature if temperature > 1e-4 else 0.0,
+                rng=jax.random.PRNGKey(int(time.time())))[0]
+        finally:
+            self.queue_length -= 1
+        text = self.tokenizer.decode(tokens, skip_special_tokens=True)
+        if stop_str and text.endswith(stop_str):
+            text = text[:-len(stop_str)]
+        # stream in chunks (batch-1 decode already ran device-side; chunked
+        # emission keeps the reference's wire format)
+        step = 8
+        for i in range(0, max(len(text), 1), step):
+            yield json.dumps({"text": prompt + text[:i + step],
+                              "error_code": 0}).encode() + b"\0"
+
+
+def build_app(worker: ModelWorker) -> web.Application:
+    routes = web.RouteTableDef()
+
+    @routes.post("/worker_generate_stream")
+    async def generate_stream(request):
+        params = await request.json()
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+
+        def run():
+            return list(worker.generate_stream(params))
+
+        chunks = await loop.run_in_executor(None, run)
+        for chunk in chunks:
+            await resp.write(chunk)
+        return resp
+
+    @routes.post("/worker_get_status")
+    async def get_status(request):
+        return web.json_response(worker.status())
+
+    app = web.Application()
+    app.add_routes(routes)
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--worker-address", type=str,
+                        default="http://localhost:21002")
+    parser.add_argument("--controller-address", "--controller", type=str,
+                        default="http://localhost:21001")
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--model-name", type=str, default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    args = parser.parse_args()
+    worker = ModelWorker(args.controller_address, args.worker_address,
+                         args.model_path, args.model_base, args.model_name,
+                         args.limit_model_concurrency, args.no_register)
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

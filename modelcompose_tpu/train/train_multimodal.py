@@ -1,0 +1,324 @@
+"""DAMC training entry point.
+
+Rebuild of the reference's ``train_multimodal.py`` (reference:
+modelcompose/train/train_multimodal.py:275-524) on the jitted sharded train
+step: stage-1 projector pretrain (``--tune_mm_mlp_adapter``) and stage-2
+DAMC finetune (``--lora_strategy modal+language``), with
+
+- the reference's CLI flag names (subset relevant to TPU),
+- modality-grouped length sampling (``--group_by_modality_length``),
+- warmup-cosine schedule + per-group lrs (mm_projector_lr / mm_language_lr),
+- static-shape bucketed packing (one compile per bucket),
+- step checkpoints with auto-resume, final adapter_model /
+  mm_projector exports in the reference key layout.
+
+Usage (DAMC stage 2, vision):
+    python -m modelcompose_tpu.train.train_multimodal \
+        --model_name_or_path ckpts/vicuna-7b-v1.5 \
+        --version v1 --data_path data/train.json \
+        --mm_vision_encoder openai/clip-vit-large-patch14-336 \
+        --mm_projector_type mlp2x_gelu --mm_vision_select_layer -2 \
+        --pretrain_mm_mlp_adapter ckpts/stage1/mm_projector.safetensors \
+        --lora_strategy modal+language --lora_r 128 --lora_alpha 256 \
+        --local_prefix_tokens 5 --local_suffix_tokens 5 \
+        --learning_rate 2e-4 --mm_projector_lr 2e-5 --mm_language_lr 1e-5 \
+        --output_dir out/vision-damc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..core.packing import DEFAULT_BUCKETS, pick_bucket, plan_pack
+from ..data import conversation as conversation_lib
+from ..data.conversation import conv_templates
+from ..data.dataset import DataCollatorForSupervisedDataset, MultimodalDataset
+from ..models.model import MultimodalLM
+from ..parallel.mesh import batch_sharding, mesh_for_batch, shard_params
+from .checkpoint import (latest_checkpoint, restore_step_checkpoint,
+                         save_adapter_checkpoint, save_projector_checkpoint,
+                         save_step_checkpoint)
+from .sampler import (get_length_grouped_indices,
+                      get_modality_length_grouped_indices)
+from .trainer import (TrainConfig, init_train_state, make_optimizer,
+                      make_train_step)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DAMC multimodal training")
+    # ModelArguments (reference: train_multimodal.py:53-87)
+    p.add_argument("--model_name_or_path", type=str, required=True)
+    p.add_argument("--version", type=str, default="v0")
+    p.add_argument("--tune_mm_mlp_adapter", type=lambda s: s == "True",
+                   default=False)
+    p.add_argument("--pretrain_mm_mlp_adapter", type=str, default=None)
+    p.add_argument("--mm_vision_encoder", type=str, default=None)
+    p.add_argument("--mm_audio_encoder", type=str, default=None)
+    p.add_argument("--mm_video_encoder", type=str, default=None)
+    p.add_argument("--mm_point_encoder", type=str, default=None)
+    p.add_argument("--mm_projector_type", type=str, default="linear")
+    p.add_argument("--mm_audio_projector_type", type=str, default="linear")
+    p.add_argument("--mm_video_projector_type", type=str, default="linear")
+    p.add_argument("--mm_point_projector_type", type=str, default="linear")
+    p.add_argument("--mm_vision_select_layer", type=int, default=-1)
+    p.add_argument("--mm_video_select_layer", type=int, default=-1)
+    p.add_argument("--mm_vision_select_feature", type=str, default="patch")
+    p.add_argument("--local_prefix_tokens", type=int, default=0)
+    p.add_argument("--local_suffix_tokens", type=int, default=0)
+    # DataArguments
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--image_aspect_ratio", type=str, default="square")
+    # TrainingArguments (reference: :101-139)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--mm_projector_lr", type=float, default=None)
+    p.add_argument("--mm_language_lr", type=float, default=None)
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--lora_strategy", type=str, default=None)
+    p.add_argument("--lora_r", type=int, default=64)
+    p.add_argument("--lora_alpha", type=int, default=16)
+    p.add_argument("--lora_dropout", type=float, default=0.05)
+    p.add_argument("--group_by_modality_length", type=lambda s: s == "True",
+                   default=False)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--bf16", type=lambda s: s == "True", default=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--random_init_backbone", action="store_true",
+                   help="debug/tests: skip base weight loading")
+    return p
+
+
+def build_model_config(args) -> ModelConfig:
+    cfg_kwargs: Dict[str, Any] = dict(
+        lora_strategy=args.lora_strategy, lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha, lora_dropout=args.lora_dropout,
+        local_prefix_tokens=args.local_prefix_tokens,
+        local_suffix_tokens=args.local_suffix_tokens,
+        mm_vision_encoder=args.mm_vision_encoder,
+        mm_audio_encoder=args.mm_audio_encoder,
+        mm_video_encoder=args.mm_video_encoder,
+        mm_point_encoder=args.mm_point_encoder,
+        mm_projector_type=args.mm_projector_type,
+        mm_audio_projector_type=args.mm_audio_projector_type,
+        mm_video_projector_type=args.mm_video_projector_type,
+        mm_point_projector_type=args.mm_point_projector_type,
+        mm_vision_select_layer=args.mm_vision_select_layer,
+        mm_vision_select_feature=args.mm_vision_select_feature,
+        mm_video_select_layer=args.mm_video_select_layer,
+        dtype="bfloat16" if args.bf16 else "float32",
+    )
+    base_cfg_path = os.path.join(args.model_name_or_path, "config.json")
+    if os.path.exists(base_cfg_path):
+        with open(base_cfg_path) as f:
+            base = json.load(f)
+        for key in ("vocab_size", "hidden_size", "intermediate_size",
+                    "num_hidden_layers", "num_attention_heads",
+                    "num_key_value_heads", "max_position_embeddings",
+                    "rms_norm_eps", "rope_theta"):
+            if key in base:
+                cfg_kwargs[key] = base[key]
+    cfg = ModelConfig(**cfg_kwargs)
+    # mm hidden sizes come from the towers at build time
+    return cfg
+
+
+def build_model(args, cfg: ModelConfig) -> MultimodalLM:
+    import jax
+    from ..models.projectors import init_projector
+    from ..models.towers import build_modal_encoders
+    rng = jax.random.PRNGKey(args.seed)
+    k_lm, k_enc, k_proj = jax.random.split(rng, 3)
+
+    encoders = build_modal_encoders(cfg, k_enc)
+    for modal, enc in encoders.items():
+        setter = {"vision": "mm_hidden_size", "audio": "mm_audio_hidden_size",
+                  "video": "mm_video_hidden_size",
+                  "point": "mm_point_hidden_size"}[modal]
+        setattr(cfg, setter, enc.hidden_size)
+
+    if args.random_init_backbone:
+        from ..core.llama import init_params
+        params = init_params(cfg, k_lm)
+    else:
+        from ..compose.convert import hf_llama_to_params
+        from ..models.loader import load_hf_llama_dir
+        params = hf_llama_to_params(
+            load_hf_llama_dir(args.model_name_or_path), cfg)
+
+    projectors = {}
+    import jax.numpy as jnp
+    for modal in cfg.modalities():
+        k_proj, sub = jax.random.split(k_proj)
+        projectors[modal] = init_projector(
+            cfg.projector_type(modal), sub, encoders[modal].hidden_size,
+            cfg.hidden_size, dtype=jnp.dtype(cfg.dtype))
+
+    if args.pretrain_mm_mlp_adapter:
+        from ..compose.convert import projector_from_reference
+        from ..compose.state_io import load_state
+        state = load_state(args.pretrain_mm_mlp_adapter)
+        for modal in cfg.modalities():
+            prefix = f"model.modal_projectors.{modal}"
+            if any(k.startswith(prefix) for k in state):
+                tree = projector_from_reference(cfg.projector_type(modal),
+                                                state, prefix)
+                projectors[modal] = jax.tree.map(
+                    lambda x: jnp.asarray(x, jnp.dtype(cfg.dtype)), tree)
+
+    return MultimodalLM(cfg, params, encoders, projectors)
+
+
+def make_batch(model: MultimodalLM, collated: Dict[str, Any],
+               buckets=DEFAULT_BUCKETS):
+    """Collator output -> device batch for the jitted step (towers run here,
+    outside the step — they're frozen)."""
+    import jax.numpy as jnp
+    feats = {}
+    for modal, raw in collated.get("modal_inputs", {}).items():
+        enc = model.encoders[modal]
+        if modal == "audio":
+            out = enc.encode(**raw) if isinstance(raw, dict) else \
+                enc.encode(raw)
+            feats[modal] = out[0] if isinstance(out, tuple) else out
+        elif modal == "video":
+            x = enc.encode(raw)
+            b, t, n, d = x.shape
+            feats[modal] = x.reshape(b, t * n, d)
+        else:
+            feats[modal] = enc.encode(raw)
+    spans = {}
+    for modal, f in feats.items():
+        span = model.feature_span_len(modal)
+        spans[modal] = (int(f.shape[0]), span)
+    # span lengths include prefix/suffix added INSIDE the loss; but packing
+    # plans against the full span
+    total = max((len(ids) + sum(
+        spans[m][1] * int((np.asarray(ids) ==
+                           _modal_token(m)).sum())
+        for m in spans) for ids in collated["input_ids"]), default=8)
+    bucket = pick_bucket(total, buckets)
+    plan = plan_pack(collated["input_ids"], spans,
+                     labels=collated["labels"], bucket_len=bucket)
+    batch = {
+        "encoder_features": {m: jnp.asarray(f) for m, f in feats.items()},
+        "token_ids": jnp.asarray(plan.token_ids),
+        "feat_idx": jnp.asarray(plan.feat_idx),
+        "is_feat": jnp.asarray(plan.is_feat),
+        "route_ids": jnp.asarray(plan.route_ids),
+        "labels": jnp.asarray(plan.labels),
+        "segment_ids": jnp.asarray(plan.segment_ids),
+    }
+    return batch, tuple(plan.feat_layout)
+
+
+def _modal_token(modal: str) -> int:
+    from ..constants import MODAL_TOKEN_INDEXES
+    return MODAL_TOKEN_INDEXES[modal]
+
+
+def train(args, tokenizer=None) -> Dict[str, Any]:
+    import jax
+
+    conversation_lib.default_conversation = conv_templates[args.version]
+    cfg = build_model_config(args)
+    model = build_model(args, cfg)
+
+    if tokenizer is None:
+        from ..models.loader import load_tokenizer
+        tokenizer = load_tokenizer(args.model_name_or_path)
+    tokenizer.model_max_length = args.model_max_length
+
+    dataset = MultimodalDataset(args.data_path, tokenizer)
+    collator = DataCollatorForSupervisedDataset(
+        tokenizer, model.modal_processors(),
+        {"vision": {"image_aspect_ratio": args.image_aspect_ratio}})
+
+    B = args.per_device_train_batch_size
+    n = len(dataset)
+    steps_per_epoch = max(n // B, 1)
+    total_steps = args.max_steps if args.max_steps > 0 else \
+        int(steps_per_epoch * args.num_train_epochs)
+
+    tc = TrainConfig(
+        learning_rate=args.learning_rate,
+        mm_projector_lr=args.mm_projector_lr,
+        mm_language_lr=args.mm_language_lr,
+        warmup_ratio=args.warmup_ratio, total_steps=total_steps,
+        weight_decay=args.weight_decay,
+        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter)
+
+    mesh = mesh_for_batch(B)
+    params = shard_params(model.params, mesh)
+    state = init_train_state(cfg, tc, params, model.projectors)
+    tx, _ = make_optimizer(cfg, tc, state.params)
+    step_fn = make_train_step(cfg, tc, tx)
+
+    resume = latest_checkpoint(args.output_dir)
+    if resume:
+        print(f"[train] resuming from {resume}")
+        state = restore_step_checkpoint(resume, state)
+
+    rng = np.random.default_rng(args.seed)
+    start_step = int(state.step)
+    losses = []
+    t0 = time.time()
+    step_idx = start_step
+    bs = batch_sharding(mesh)
+    while step_idx < total_steps:
+        if args.group_by_modality_length:
+            order = get_modality_length_grouped_indices(
+                dataset.modality_lengths, B, 1, rng)
+        else:
+            order = get_length_grouped_indices(
+                [abs(l) for l in dataset.modality_lengths], B, 1, rng)
+        for i in range(0, len(order) - B + 1, B):
+            if step_idx >= total_steps:
+                break
+            collated = collator([dataset[j] for j in order[i:i + B]])
+            batch, layout = make_batch(model, collated)
+            with mesh:
+                batch = {k: (jax.device_put(v, bs)
+                             if k != "encoder_features" else v)
+                         for k, v in batch.items()}
+                state, loss = step_fn(state, batch, layout)
+            step_idx += 1
+            losses.append(float(loss))
+            if step_idx % args.logging_steps == 0:
+                avg = np.mean(losses[-args.logging_steps:])
+                rate = step_idx / max(time.time() - t0, 1e-9)
+                print(f"[train] step {step_idx}/{total_steps} "
+                      f"loss {avg:.4f} ({rate:.2f} it/s)")
+            if args.save_steps and step_idx % args.save_steps == 0:
+                save_step_checkpoint(args.output_dir, step_idx, state)
+
+    # final export (reference: train_multimodal.py:505-524)
+    backbone = state.params["backbone"]
+    projectors = state.params["projectors"]
+    if args.tune_mm_mlp_adapter:
+        save_projector_checkpoint(args.output_dir, cfg, projectors)
+    else:
+        save_adapter_checkpoint(args.output_dir, cfg, backbone, projectors)
+    return {"final_loss": losses[-1] if losses else None,
+            "steps": step_idx, "losses": losses}
+
+
+def main():
+    args = build_arg_parser().parse_args()
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,25 @@ def test_text_only_batch(tiny_vision_model):
     out = model.generate([ids0, ids1], {"vision": pixels}, max_new_tokens=3,
                          bucket_len=16)
     assert len(out) == 2
+
+
+def test_device_loop_matches_host_loop(tiny_vision_model):
+    from modelcompose_tpu.core import generate as gen
+    model = tiny_vision_model
+    proc = model.modal_processors()["vision"]
+    import numpy as np
+    from PIL import Image
+    img = Image.fromarray(
+        (np.random.RandomState(3).rand(40, 50, 3) * 255).astype(np.uint8))
+    pixels = proc([img])
+    ids = [np.array([1, 5, IMG, 9])]
+    embeds, plan = model.prepare_batch(ids, {"vision": pixels},
+                                       bucket_len=16)
+    kwargs = dict(lengths=plan.lengths, route_ids=plan.route_ids,
+                  routing_table=model.routing_table,
+                  segment_ids=plan.segment_ids, max_new_tokens=6)
+    dev = gen.generate(model.params, model.cfg, embeds, device_loop=True,
+                       **kwargs)
+    host = gen.generate(model.params, model.cfg, embeds, device_loop=False,
+                        **kwargs)
+    assert dev == host, (dev, host)

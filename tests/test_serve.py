@@ -1,0 +1,151 @@
+"""Serving plane: controller registry/dispatch, worker stream, demo app
+(reference: modelcompose/serve/{controller,model_worker}.py, demo_app.py)."""
+
+import asyncio
+import json
+import time
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from modelcompose_tpu.serve.controller import Controller, build_app
+
+
+# ------------------------------------------------------------ controller
+
+def test_controller_register_and_dispatch():
+    c = Controller("shortest_queue")
+    assert c.register_worker("http://w1", True,
+                             {"model_names": ["m"], "speed": 1,
+                              "queue_length": 0})
+    assert c.register_worker("http://w2", True,
+                             {"model_names": ["m"], "speed": 1,
+                              "queue_length": 5})
+    assert c.list_models() == ["m"]
+    # shortest queue wins and gets its queue bumped
+    assert c.get_worker_address("m") == "http://w1"
+    assert c.worker_info["http://w1"].queue_length == 1
+    assert c.get_worker_address("nope") == ""
+
+
+def test_controller_heartbeat_expiry():
+    c = Controller()
+    c.register_worker("http://w1", True, {"model_names": ["m"],
+                                          "speed": 1, "queue_length": 0})
+    c.worker_info["http://w1"].last_heart_beat = time.time() - 1000
+    c.remove_stale_workers()
+    assert c.worker_info == {}
+    # heartbeat for unknown worker -> False (triggers re-register)
+    assert not c.receive_heart_beat("http://w1", 0)
+
+
+def test_controller_lottery_dispatch():
+    c = Controller("lottery")
+    c.register_worker("http://w1", True, {"model_names": ["m"],
+                                          "speed": 1, "queue_length": 0})
+    picks = {c.get_worker_address("m", np.random.default_rng(i))
+             for i in range(3)}
+    assert picks == {"http://w1"}
+
+
+def test_controller_http_api():
+    async def run():
+        app = build_app(Controller())
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/register_worker", json={
+                "worker_name": "http://w1", "check_heart_beat": True,
+                "worker_status": {"model_names": ["m"], "speed": 1,
+                                  "queue_length": 0}})
+            assert (await r.json())["exist"]
+            r = await client.post("/list_models", json={})
+            assert (await r.json())["models"] == ["m"]
+            r = await client.post("/get_worker_address", json={"model": "m"})
+            assert (await r.json())["address"] == "http://w1"
+            r = await client.post("/receive_heart_beat", json={
+                "worker_name": "http://w1", "queue_length": 2})
+            assert (await r.json())["exist"]
+
+    asyncio.get_event_loop().run_until_complete(run())
+
+
+# ---------------------------------------------------------------- worker
+
+class FakeModel:
+    def generate(self, ids, modal_inputs, max_new_tokens=16,
+                 temperature=0.0, rng=None):
+        return [[11, 12, 13]]
+
+
+class FakeTokenizer:
+    bos_token_id = 1
+
+    def __call__(self, text):
+        class R:
+            pass
+        r = R()
+        r.input_ids = [1, 5, 6]
+        return r
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "hello world"
+
+
+def _fake_loader(model_path, model_base, model_name):
+    return FakeTokenizer(), FakeModel(), {}, 2048
+
+
+def test_worker_generate_stream_chunks():
+    from modelcompose_tpu.serve.model_worker import ModelWorker, build_app \
+        as build_worker_app
+    worker = ModelWorker("http://c", "http://w", "path-multimodal", "base",
+                         no_register=True, loader=_fake_loader)
+    chunks = list(worker.generate_stream(
+        {"prompt": "hi", "max_new_tokens": 8, "temperature": 0}))
+    assert all(c.endswith(b"\0") for c in chunks)
+    last = json.loads(chunks[-1][:-1])
+    assert last["error_code"] == 0
+    assert "hello world" in last["text"]
+
+    async def run():
+        app = build_worker_app(worker)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/worker_get_status", json={})
+            status = await r.json()
+            assert status["model_names"] == ["path-multimodal"]
+            r = await client.post("/worker_generate_stream",
+                                  json={"prompt": "hi", "temperature": 0})
+            body = await r.read()
+            parts = [p for p in body.split(b"\0") if p]
+            assert json.loads(parts[-1])["error_code"] == 0
+
+    asyncio.get_event_loop().run_until_complete(run())
+
+
+# ------------------------------------------------------------------ demo
+
+def test_demo_app_index_and_generate(tmp_path):
+    from modelcompose_tpu.serve.demo_app import DemoApp, build_app \
+        as build_demo_app
+
+    class DemoModel:
+        def generate(self, ids, modal_inputs, max_new_tokens=128):
+            return [[7, 8]]
+
+    def loader(mp, mb, name):
+        return FakeTokenizer(), DemoModel(), {}, 2048
+
+    demo = DemoApp("merged-multimodal", "base", loader=loader)
+
+    async def run():
+        app = build_demo_app(demo)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.get("/")
+            assert r.status == 200
+            assert "ModelCompose" in await r.text()
+            r = await client.post("/generate",
+                                  data={"question": "what?"})
+            text = await r.text()
+            assert "hello world" in text
+
+    asyncio.get_event_loop().run_until_complete(run())
