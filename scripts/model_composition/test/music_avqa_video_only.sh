@@ -1,0 +1,10 @@
+#!/bin/bash
+# MUSIC-AVQA (video_only) EvalAI-normalized accuracy (reference:
+# music_avqa_video_only.sh).  Usage: <chunk_list> <CKPT> [MODEL_BASE]
+DIR=$(cd "$(dirname "$0")"; pwd)
+export CHUNK_LIST=$1 CKPT=$2 MODEL_BASE=$3 MODAL="video_only"
+export TASK="MUSIC-AVQA"
+export QUESTION_FILE=data/test/music_avqa_mm_video_only.json
+export ANN_FILE=data/test/music_avqa_answer.json
+export SCORER=eval_music_avqa
+bash $DIR/run_chunked_eval.sh
