@@ -59,9 +59,18 @@ def kaldi_fbank(waveform: np.ndarray, num_mel_bins: int = 128,
                 frame_length_ms: float = 25.0,
                 frame_shift_ms: float = 10.0,
                 preemphasis: float = 0.97,
-                remove_dc_offset: bool = True) -> np.ndarray:
+                remove_dc_offset: bool = True,
+                use_native: bool = True) -> np.ndarray:
     """waveform: [N] float (kaldi scale, i.e. x * 2**15) -> [T, bins]
-    log-mel features."""
+    log-mel features.  Dispatches to the C++ library (native/mcdata.cc)
+    when built; numpy otherwise."""
+    if use_native:
+        from ..utils.native import fbank_native
+        out = fbank_native(waveform, num_mel_bins, float(sample_frequency),
+                           frame_length_ms, frame_shift_ms, preemphasis,
+                           remove_dc_offset)
+        if out is not None:
+            return out
     win = int(sample_frequency * frame_length_ms / 1000)   # 400
     hop = int(sample_frequency * frame_shift_ms / 1000)    # 160
     n = len(waveform)

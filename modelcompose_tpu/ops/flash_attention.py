@@ -1,22 +1,24 @@
-"""Pallas TPU flash attention (forward), with recompute backward.
+"""Pallas TPU flash attention, forward + backward kernels.
 
-This kernel is the TPU-native replacement for the reference's external
-flash-attn-2 CUDA kernels (reference: modelcompose/train/
-multimodal_flash_attn_monkey_patch.py:86-108) and its vendored Triton kernel
-(reference: modelcompose/model/language_model/mpt/flash_attn_triton.py).
-Instead of varlen unpadding, ragged batches are expressed with segment ids
-(0 = padding), which the kernel masks natively — mixed-modal prompts of
-different lengths therefore compile once per bucket.
+TPU-native replacement for the reference's external flash-attn-2 CUDA
+kernels (reference: modelcompose/train/multimodal_flash_attn_monkey_patch.py:
+86-108) and its vendored Triton kernel (reference: modelcompose/model/
+language_model/mpt/flash_attn_triton.py).  Instead of varlen unpadding,
+ragged batches are expressed with segment ids (0 = padding), which the
+kernels mask natively — mixed-modal prompts of different lengths compile
+once per bucket.
 
-Structure: grid (batch, q_head, q_block, kv_block) with the kv axis
-innermost ("arbitrary"), online-softmax state (m, l, acc) carried in VMEM
-scratch across kv steps, GQA handled by indexing the kv head as
-``q_head // group`` in the BlockSpec index maps.  Fully-masked causal blocks
-skip their FLOPs via ``pl.when``.
+Forward: grid (batch, q_head, q_block, kv_block) with the kv axis innermost
+("arbitrary"), online-softmax state (m, l, acc) in VMEM scratch, GQA by
+indexing the kv head as ``q_head // group`` in BlockSpec index maps,
+fully-masked causal blocks skipped via ``pl.when``.  The log-sum-exp is
+saved as a residual.
 
-The backward pass currently recomputes attention in XLA inside a
-``jax.custom_vjp`` (O(L^2) intermediates in the bwd only); a Pallas backward
-kernel is the planned upgrade.
+Backward: two kernels in the style of jax's official TPU splash/mha ops —
+``dq`` iterates kv blocks per q block, ``dkv`` iterates q blocks per kv
+block — both recomputing p = exp(s - lse) from the saved lse and using the
+precomputed di = rowsum(o * do).  For GQA, dk/dv are produced per q-head
+and group-summed in XLA (free for MHA).
 """
 
 from __future__ import annotations
@@ -36,12 +38,31 @@ LANES = 128
 
 
 def _interpret() -> bool:
-    # Run the kernel in interpreter mode off-TPU so unit tests exercise the
+    # Run kernels in interpreter mode off-TPU so unit tests exercise the
     # same kernel logic on the CPU mesh.
     return jax.default_backend() != "tpu"
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref,
+def _pad_to(x, axis, mult):
+    rem = (-x.shape[axis]) % mult
+    if rem == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads)
+
+
+def _lift_segments(seg, B):
+    # TPU block tiling needs the last two dims of a block to be (8k, 128k);
+    # lift segment ids to [B, 8, L] so blocks are (1, 8, blk).
+    return jnp.broadcast_to(seg[:, None, :], (B, 8, seg.shape[1]))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
                m_scr, l_scr, acc_scr, *, sm_scale, causal, blk_q, blk_k,
                q_offset):
     iq = pl.program_id(2)
@@ -56,21 +77,20 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref,
 
     q_start = q_offset + iq * blk_q
     k_start = ik * blk_k
-    # Causal: the whole kv block is in the future for every q row -> skip.
     run_block = True
-    if causal:
+    if causal:  # whole kv block in the future for every q row -> skip
         run_block = q_start + blk_q - 1 >= k_start
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [blk_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [blk_k, D]
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [blk_q, blk_k]
+            preferred_element_type=jnp.float32) * sm_scale
 
-        qseg = qseg_ref[0, 0]                        # [blk_q]
-        kvseg = kvseg_ref[0, 0]                      # [blk_k]
+        qseg = qseg_ref[0, 0]
+        kvseg = kvseg_ref[0, 0]
         mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(
@@ -80,11 +100,11 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref,
             mask &= rows >= cols
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, 0][:, None]                # [blk_q, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)    # [blk_q, 1]
+        m_prev = m_scr[:, 0][:, None]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                       # [blk_q, blk_k]
-        alpha = jnp.exp(m_prev - m_new)              # [blk_q, 1]
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
 
         l_prev = l_scr[:, 0][:, None]
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -92,10 +112,10 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref,
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)          # [blk_k, D]
+        v = v_ref[0, 0].astype(jnp.float32)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [blk_q, D]
+            preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * alpha + pv
 
     @pl.when(ik == nk - 1)
@@ -107,12 +127,15 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref,
         # over all-NEG_INF logits.  Callers must ignore padding rows.
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse = m_scr[:, 0][:, None] + jnp.log(safe_l)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
                              sm_scale, causal, q_offset,
                              blk_q=256, blk_k=512):
-    """q: [B, H, Lq, D]; k, v: [B, Hkv, S, D]; segment ids [B, Lq]/[B, S]."""
+    """q: [B, H, Lq, D]; k, v: [B, Hkv, S, D]; segment ids [B, Lq]/[B, S].
+    Returns (out [B, H, Lq, D], lse [B, H, Lq_pad])."""
     B, H, Lq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
@@ -120,36 +143,20 @@ def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
     blk_q = min(blk_q, max(Lq, 128))
     blk_k = min(blk_k, max(S, 128))
 
-    def pad_to(x, axis, mult):
-        rem = (-x.shape[axis]) % mult
-        if rem == 0:
-            return x
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (0, rem)
-        return jnp.pad(x, pads)
-
-    # Pad seq lens to block multiples and head dim to the 128-lane tile.
-    q = pad_to(pad_to(q, 2, blk_q), 3, LANES)
-    k = pad_to(pad_to(k, 2, blk_k), 3, LANES)
-    v = pad_to(pad_to(v, 2, blk_k), 3, LANES)
-    q_segment_ids = pad_to(q_segment_ids, 1, blk_q)
-    kv_segment_ids = pad_to(kv_segment_ids, 1, blk_k)  # pads are segment 0
-    # TPU block tiling needs the last two dims of a block to be (8k, 128k);
-    # lift segment ids to [B, 8, L] so blocks are (1, 8, blk).
-    q_segment_ids = jnp.broadcast_to(
-        q_segment_ids[:, None, :], (B, 8, q_segment_ids.shape[1]))
-    kv_segment_ids = jnp.broadcast_to(
-        kv_segment_ids[:, None, :], (B, 8, kv_segment_ids.shape[1]))
+    q = _pad_to(_pad_to(q, 2, blk_q), 3, LANES)
+    k = _pad_to(_pad_to(k, 2, blk_k), 3, LANES)
+    v = _pad_to(_pad_to(v, 2, blk_k), 3, LANES)
+    qseg = _lift_segments(_pad_to(q_segment_ids, 1, blk_q), B)
+    kvseg = _lift_segments(_pad_to(kv_segment_ids, 1, blk_k), B)
     Lq_p, Dp = q.shape[2], q.shape[3]
     S_p = k.shape[2]
 
     grid = (B, H, Lq_p // blk_q, S_p // blk_k)
-
     kernel = functools.partial(
         _fa_kernel, sm_scale=sm_scale, causal=causal, blk_q=blk_q,
         blk_k=blk_k, q_offset=q_offset)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -161,9 +168,16 @@ def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
             pl.BlockSpec((1, 8, blk_q), lambda b, h, iq, ik: (b, 0, iq)),
             pl.BlockSpec((1, 8, blk_k), lambda b, h, iq, ik: (b, 0, ik)),
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_q, Dp),
-                               lambda b, h, iq, ik: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, Dp), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, Dp),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, blk_q, LANES),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lq_p, Dp), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq_p, LANES), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((blk_q, LANES), jnp.float32),
             pltpu.VMEM((blk_q, LANES), jnp.float32),
@@ -174,30 +188,277 @@ def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
                                  "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q, k, v, q_segment_ids, kv_segment_ids)
+    )(q, k, v, qseg, kvseg)
 
-    return out[:, :, :Lq, :D]
+    return out[:, :, :Lq, :D], lse[..., 0]
 
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+                   kvseg_ref, dq_ref, dq_scr, *, sm_scale, causal, blk_q,
+                   blk_k, q_offset):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = q_offset + iq * blk_q
+    k_start = ik * blk_k
+    run_block = True
+    if causal:
+        run_block = q_start + blk_q - 1 >= k_start
+
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0][:, None]          # [blk_q, 1]
+        di = di_ref[0, 0][:, 0][:, None]            # [blk_q, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        qseg = qseg_ref[0, 0]
+        kvseg = kvseg_ref[0, 0]
+        mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1)
+            mask &= rows >= cols
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+                    kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale,
+                    causal, blk_q, blk_k, q_offset):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = q_offset + iq * blk_q
+    k_start = ik * blk_k
+    run_block = True
+    if causal:
+        run_block = q_start + blk_q - 1 >= k_start
+
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0][:, None]
+        di = di_ref[0, 0][:, 0][:, None]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        qseg = qseg_ref[0, 0]
+        kvseg = kvseg_ref[0, 0]
+        mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, blk_k), 1)
+            mask &= rows >= cols
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)   # [blk_q, blk_k]
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [blk_k, D]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale                # [blk_q, blk_k]
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [blk_k, D]
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_attention_backward(q, k, v, o, lse, do, q_segment_ids,
+                              kv_segment_ids, sm_scale, causal, q_offset,
+                              blk_q=256, blk_k=512):
+    B, H, Lq, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    group = H // Hkv
+
+    blk_q = min(blk_q, max(Lq, 128))
+    blk_k = min(blk_k, max(S, 128))
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+
+    q = _pad_to(_pad_to(q, 2, blk_q), 3, LANES)
+    do = _pad_to(_pad_to(do, 2, blk_q), 3, LANES)
+    k = _pad_to(_pad_to(k, 2, blk_k), 3, LANES)
+    v = _pad_to(_pad_to(v, 2, blk_k), 3, LANES)
+    Lq_p, Dp = q.shape[2], q.shape[3]
+    S_p = k.shape[2]
+    # lse/di lifted to [B, H, Lq_p, LANES] so blocks tile cleanly
+    lse = jnp.broadcast_to(_pad_to(lse, 2, blk_q)[..., None],
+                           (B, H, Lq_p, LANES))
+    di = jnp.broadcast_to(_pad_to(di, 2, blk_q)[..., None],
+                          (B, H, Lq_p, LANES))
+    qseg = _lift_segments(_pad_to(q_segment_ids, 1, blk_q), B)
+    kvseg = _lift_segments(_pad_to(kv_segment_ids, 1, blk_k), B)
+
+    common_in_specs = [
+        pl.BlockSpec((1, 1, blk_q, Dp), None),   # q — index map set per call
+        pl.BlockSpec((1, 1, blk_k, Dp), None),   # k
+        pl.BlockSpec((1, 1, blk_k, Dp), None),   # v
+        pl.BlockSpec((1, 1, blk_q, Dp), None),   # do
+        pl.BlockSpec((1, 1, blk_q, LANES), None),  # lse
+        pl.BlockSpec((1, 1, blk_q, LANES), None),  # di
+        pl.BlockSpec((1, 8, blk_q), None),       # qseg
+        pl.BlockSpec((1, 8, blk_k), None),       # kvseg
+    ]
+    _ = common_in_specs
+
+    # ---- dq: grid (B, H, nq, nk), kv innermost ----
+    def q_map(b, h, iq, ik):
+        return (b, h, iq, 0)
+
+    def kv_map(b, h, iq, ik, g=group):
+        return (b, h // g, ik, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          blk_q=blk_q, blk_k=blk_k, q_offset=q_offset),
+        grid=(B, H, Lq_p // blk_q, S_p // blk_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q, Dp), q_map),
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_map),
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_map),
+            pl.BlockSpec((1, 1, blk_q, Dp), q_map),
+            pl.BlockSpec((1, 1, blk_q, LANES), q_map),
+            pl.BlockSpec((1, 1, blk_q, LANES), q_map),
+            pl.BlockSpec((1, 8, blk_q), lambda b, h, iq, ik: (b, 0, iq)),
+            pl.BlockSpec((1, 8, blk_k), lambda b, h, iq, ik: (b, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, blk_q, Dp), q_map),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, Dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk_q, Dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, di, qseg, kvseg)
+
+    # ---- dkv: grid (B, H, nk, nq), q innermost; per-q-head outputs ----
+    def q_map2(b, h, ik, iq):
+        return (b, h, iq, 0)
+
+    def kv_map2(b, h, ik, iq, g=group):
+        return (b, h // g, ik, 0)
+
+    def kv_out_map(b, h, ik, iq):
+        return (b, h, ik, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          blk_q=blk_q, blk_k=blk_k, q_offset=q_offset),
+        grid=(B, H, S_p // blk_k, Lq_p // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q, Dp), q_map2),
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_map2),
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_map2),
+            pl.BlockSpec((1, 1, blk_q, Dp), q_map2),
+            pl.BlockSpec((1, 1, blk_q, LANES), q_map2),
+            pl.BlockSpec((1, 1, blk_q, LANES), q_map2),
+            pl.BlockSpec((1, 8, blk_q), lambda b, h, ik, iq: (b, 0, iq)),
+            pl.BlockSpec((1, 8, blk_k), lambda b, h, ik, iq: (b, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_out_map),
+            pl.BlockSpec((1, 1, blk_k, Dp), kv_out_map),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S_p, Dp), k.dtype),
+            jax.ShapeDtypeStruct((B, H, S_p, Dp), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((blk_k, Dp), jnp.float32),
+                        pltpu.VMEM((blk_k, Dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, di, qseg, kvseg)
+
+    dq = dq[:, :, :Lq, :D]
+    dk = dk[:, :, :S, :D]
+    dv = dv[:, :, :S, :D]
+    if group > 1:  # GQA: sum grads over the q-head group per kv head
+        dk = dk.reshape(B, Hkv, group, S, D).sum(axis=2)
+        dv = dv.reshape(B, Hkv, group, S, D).sum(axis=2)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_attention(q, k, v, q_segment_ids, kv_segment_ids,
                      sm_scale, causal, q_offset):
-    return _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
-                                    sm_scale, causal, q_offset)
+    out, _ = _flash_attention_forward(q, k, v, q_segment_ids,
+                                      kv_segment_ids, sm_scale, causal,
+                                      q_offset)
+    return out
 
 
 def _fa_fwd(q, k, v, q_segment_ids, kv_segment_ids, sm_scale, causal,
             q_offset):
-    out = _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
-                                   sm_scale, causal, q_offset)
-    return out, (q, k, v, q_segment_ids, kv_segment_ids)
+    out, lse = _flash_attention_forward(q, k, v, q_segment_ids,
+                                        kv_segment_ids, sm_scale, causal,
+                                        q_offset)
+    return out, (q, k, v, out, lse, q_segment_ids, kv_segment_ids)
 
 
 def _fa_bwd(sm_scale, causal, q_offset, residuals, g):
-    q, k, v, q_segment_ids, kv_segment_ids = residuals
+    q, k, v, out, lse, q_segment_ids, kv_segment_ids = residuals
+    dq, dk, dv = _flash_attention_backward(
+        q, k, v, out, lse, g, q_segment_ids, kv_segment_ids, sm_scale,
+        causal, q_offset)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+_flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention_reference_bwd(q, k, v, *, causal, q_segment_ids,
+                                  kv_segment_ids, q_offset=0, sm_scale=None):
+    """XLA-recompute fallback (kept for A/B testing the pallas backward)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
 
     def ref(q_, k_, v_):
-        # attention_reference takes [B, L, H, D]; residuals are [B, H, L, D].
         o = attention_reference(
             q_.swapaxes(1, 2), k_.swapaxes(1, 2), v_.swapaxes(1, 2),
             causal=causal, q_segment_ids=q_segment_ids,
@@ -205,12 +466,7 @@ def _fa_bwd(sm_scale, causal, q_offset, residuals, g):
             sm_scale=sm_scale)
         return o.swapaxes(1, 2)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
-
-
-_flash_attention.defvjp(_fa_fwd, _fa_bwd)
+    return ref
 
 
 def flash_attention(q, k, v, *, causal: bool = True, q_segment_ids=None,

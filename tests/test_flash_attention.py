@@ -95,3 +95,65 @@ def test_decode_attention_matches_full():
                                    causal=False)
         np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want[0]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_backward_matches_xla_reference():
+    """Pallas bwd kernels vs jax.vjp through the XLA reference."""
+    import jax
+    from modelcompose_tpu.ops.attention import attention_reference
+
+    B, L, H, D = 2, 96, 4, 32
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv, kg = jax.random.split(rng, 4)
+    q = jax.random.normal(kq, (B, L, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, L, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, L, H, D), jnp.float32)
+    seg = (jnp.arange(L)[None, :] < jnp.array([[L], [70]])).astype(jnp.int32)
+    seg = seg.reshape(2, L)
+    g = jax.random.normal(kg, (B, L, H, D), jnp.float32)
+
+    def pallas_fn(q, k, v):
+        return flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                               kv_segment_ids=seg)
+
+    def ref_fn(q, k, v):
+        return attention_reference(q, k, v, causal=True, q_segment_ids=seg,
+                                   kv_segment_ids=seg)
+
+    _, vjp_p = jax.vjp(pallas_fn, q, k, v)
+    _, vjp_r = jax.vjp(ref_fn, q, k, v)
+    # zero the cotangent at padding rows — outputs there are garbage by
+    # design in both impls, but DIFFERENT garbage
+    g_valid = g * seg[:, :, None, None]
+    dq_p, dk_p, dv_p = vjp_p(g_valid)
+    dq_r, dk_r, dv_r = vjp_r(g_valid)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_r),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_r),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_r),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_backward_gqa_group_sum():
+    import jax
+    from modelcompose_tpu.ops.attention import attention_reference
+
+    B, L, H, Hkv, D = 1, 64, 4, 2, 32
+    rng = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (B, L, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv, (B, L, Hkv, D), jnp.float32)
+
+    def pallas_fn(q, k, v):
+        return flash_attention(q, k, v, causal=True).sum()
+
+    def ref_fn(q, k, v):
+        return attention_reference(q, k, v, causal=True).sum()
+
+    gp = jax.grad(pallas_fn, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
