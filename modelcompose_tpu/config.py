@@ -240,6 +240,23 @@ class ModelConfig:
             d[f"local_{m}_prefix_tokens"] = v
         for m, v in d.pop("local_modal_suffix_tokens").items():
             d[f"local_{m}_suffix_tokens"] = v
+        # Only serialize per-modality keys for modalities that are present —
+        # the reference's config.json omits attributes that were never set,
+        # and the merge CLI's truthy union would otherwise let a default
+        # 'linear' from checkpoint A clobber checkpoint B's real projector
+        # spec (reference: merge_unimodal_modelcompose.py:117-123).
+        per_modal_keys = {
+            "vision": ["mm_projector_type", "mm_hidden_size",
+                       "mm_vision_select_layer", "mm_vision_select_feature"],
+            "audio": ["mm_audio_projector_type", "mm_audio_hidden_size"],
+            "video": ["mm_video_projector_type", "mm_video_hidden_size",
+                      "mm_video_select_layer", "mm_video_select_feature"],
+            "point": ["mm_point_projector_type", "mm_point_hidden_size"],
+        }
+        for modal, keys in per_modal_keys.items():
+            if self.encoder_spec(modal) is None:
+                for key in keys:
+                    d.pop(key, None)
         d["model_type"] = "multimodal"
         return d
 

@@ -108,10 +108,12 @@ class BeatsAudioProcessor:
     """
 
     def __init__(self, sampling_rate: int = SAMPLE_RATE, n_frames: int = 2,
-                 frame_length: int = 512, is_eval: bool = True):
+                 frame_length: int = 512, is_eval: bool = True,
+                 num_mel_bins: int = 128):
         self.sampling_rate = sampling_rate
         self.n_frames = n_frames
         self.frame_length = frame_length
+        self.num_mel_bins = num_mel_bins
         self.fbank_mean = FBANK_MEAN
         self.fbank_std = FBANK_STD
         self.is_eval = is_eval
@@ -144,7 +146,8 @@ class BeatsAudioProcessor:
 
     def _empty(self) -> Tuple[np.ndarray, np.ndarray]:
         n = self.n_frames * self.frame_length
-        return (np.zeros((n, 128), np.float32), np.zeros((n,), bool))
+        return (np.zeros((n, self.num_mel_bins), np.float32),
+                np.zeros((n,), bool))
 
     def process_one(self, au) -> Tuple[np.ndarray, np.ndarray]:
         try:
@@ -153,7 +156,8 @@ class BeatsAudioProcessor:
             return self._empty()
         if len(waveform) > 30 * self.sampling_rate:
             waveform = waveform[:30 * self.sampling_rate]
-        fbank = kaldi_fbank(waveform * (2 ** 15))
+        fbank = kaldi_fbank(waveform * (2 ** 15),
+                            num_mel_bins=self.num_mel_bins)
         if fbank.shape[0] == 0:
             return self._empty()
         fbank = (fbank - self.fbank_mean) / (2 * self.fbank_std)
@@ -179,7 +183,8 @@ class BeatsAudioProcessor:
             aupaths = [aupaths]
         feats, masks = zip(*[self.process_one(a) for a in aupaths])
         max_len = max(f.shape[0] for f in feats)
-        out_f = np.zeros((len(feats), max_len, 128), np.float32)
+        out_f = np.zeros((len(feats), max_len, self.num_mel_bins),
+                         np.float32)
         out_m = np.ones((len(feats), max_len), bool)
         for i, (f, m) in enumerate(zip(feats, masks)):
             out_f[i, :f.shape[0]] = f

@@ -424,7 +424,7 @@ class BeatsAudioTower:
     @property
     def modal_processor(self):
         from ..data.audio_processing import BeatsAudioProcessor
-        return BeatsAudioProcessor()
+        return BeatsAudioProcessor(num_mel_bins=self.cfg.fbank_bins)
 
     def encode(self, audio_inputs, audio_padding_mask=None):
         feats, pad = self._encode(

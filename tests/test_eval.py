@@ -53,22 +53,8 @@ def test_music_avqa_normalized_scoring(tmp_path):
 # Full pipeline on tiny dims
 # ---------------------------------------------------------------------------
 
-class TinyTokenizer:
-    """Deterministic word-hash tokenizer with BOS=1, EOS=2."""
-    bos_token_id = 1
-    eos_token_id = 2
-    pad_token_id = 0
-    model_max_length = 2048
+from tests.fake_tokenizer import FakeLlamaTokenizer as TinyTokenizer
 
-    def __call__(self, text):
-        class R:
-            pass
-        r = R()
-        r.input_ids = [1] + [3 + (hash(w) % 120) for w in text.split()]
-        return r
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"t{i}" for i in ids)
 
 
 @pytest.fixture()

@@ -149,3 +149,41 @@ def test_demo_app_index_and_generate(tmp_path):
             assert "hello world" in text
 
     asyncio.get_event_loop().run_until_complete(run())
+
+
+def test_web_server_chat_flow():
+    """Web UI -> controller -> worker full stream round trip."""
+    from modelcompose_tpu.serve.controller import Controller, \
+        build_app as build_ctrl
+    from modelcompose_tpu.serve.model_worker import ModelWorker, \
+        build_app as build_worker_app
+    from modelcompose_tpu.serve.web_server import WebServer, \
+        build_app as build_web
+
+    async def run():
+        worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
+                             no_register=True, loader=_fake_loader)
+        worker_server = TestServer(build_worker_app(worker))
+        await worker_server.start_server()
+        worker_addr = f"http://{worker_server.host}:{worker_server.port}"
+
+        controller = Controller()
+        controller.register_worker(worker_addr, True,
+                                   {"model_names": ["m-multimodal"],
+                                    "speed": 1, "queue_length": 0})
+        ctrl_server = TestServer(build_ctrl(controller))
+        await ctrl_server.start_server()
+        ctrl_url = f"http://{ctrl_server.host}:{ctrl_server.port}"
+
+        web_app = build_web(WebServer(ctrl_url))
+        async with TestClient(TestServer(web_app)) as client:
+            r = await client.get("/")
+            assert "m-multimodal" in await r.text()
+            r = await client.post("/chat", data={"model": "m-multimodal",
+                                                 "message": "hi"})
+            text = await r.text()
+            assert "hello world" in text
+        await worker_server.close()
+        await ctrl_server.close()
+
+    asyncio.get_event_loop().run_until_complete(run())

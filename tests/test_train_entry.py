@@ -14,21 +14,8 @@ from modelcompose_tpu.train.sampler import (
     split_to_even_chunks)
 
 
-class TinyTokenizer:
-    bos_token_id = 1
-    eos_token_id = 2
-    pad_token_id = 0
-    model_max_length = 512
+from tests.fake_tokenizer import FakeLlamaTokenizer as TinyTokenizer
 
-    def __call__(self, text):
-        class R:
-            pass
-        r = R()
-        r.input_ids = [1] + [3 + (hash(w) % 100) for w in text.split()]
-        return r
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"t{i}" for i in ids)
 
 
 # ------------------------------------------------------------- samplers
