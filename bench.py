@@ -9,6 +9,7 @@ publishes no numbers (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,6 +25,10 @@ def main():
     from modelcompose_tpu.core.generate import _decode_loop, _prefill
 
     on_tpu = jax.default_backend() == "tpu"
+    # BENCH_INT8=1 benches the weight-only int8 decode path: measured
+    # 66.6 tok/s vs 42.4 bf16 on v5e (1.57x), but its remote compile takes
+    # ~35 min vs ~11, so bf16 is the default for bounded driver runs.
+    use_int8 = os.environ.get("BENCH_INT8") == "1"
     if on_tpu:
         # Batch 1 matches the reference eval protocol (greedy, batch 1,
         # use_cache — BASELINE.md); it also bounds the KV cache so the 7B
@@ -35,8 +40,15 @@ def main():
         cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=16)
         B, L, cache_len, steps = 2, 32, 64, 8
 
-    params = _zeros_params(cfg) if on_tpu else None
-    if params is None:
+    if on_tpu and use_int8:
+        from modelcompose_tpu.core.llama import init_params
+        from modelcompose_tpu.ops.quant import quantize_backbone
+        shapes = jax.eval_shape(lambda: quantize_backbone(
+            init_params(cfg, jax.random.PRNGKey(0))))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    elif on_tpu:
+        params = _zeros_params(cfg)
+    else:
         from modelcompose_tpu.core.llama import init_params
         params = init_params(cfg, jax.random.PRNGKey(0))
 

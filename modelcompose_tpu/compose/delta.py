@@ -52,3 +52,31 @@ def load_delta_weights(path: str, modals: Optional[Sequence[str]] = None
             out.setdefault(modal, {})[base] = get_delta_weight(
                 lora[a_key], lora[b_key], scale)
     return out
+
+
+def main():
+    """CLI mirroring the reference's evaluate_delta_weights entry
+    (reference: scripts/evaluate_delta_weights.py)."""
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Materialize dense LoRA deltas for analysis")
+    parser.add_argument("checkpoint")
+    parser.add_argument("--modals", nargs="*", default=None)
+    parser.add_argument("--output", default=None,
+                        help="optional .safetensors to save deltas")
+    args = parser.parse_args()
+    deltas = load_delta_weights(args.checkpoint, args.modals)
+    for modal, keys in deltas.items():
+        norms = [float(np.linalg.norm(v)) for v in keys.values()]
+        print(f"{modal}: {len(keys)} deltas, "
+              f"mean ||delta||={np.mean(norms):.4f}")
+    if args.output:
+        from .state_io import save_state
+        flat = {f"{m}.{k}": v for m, keys in deltas.items()
+                for k, v in keys.items()}
+        save_state(flat, args.output)
+        print(f"saved {len(flat)} deltas -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -250,6 +250,9 @@ def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
 
 
 def logits_from_hidden(params: Params, hidden) -> jax.Array:
+    from ..ops.quant import dequant_matmul, is_quantized
+    if is_quantized(params["lm_head"]):
+        return dequant_matmul(hidden, params["lm_head"]).astype(jnp.float32)
     return jnp.einsum("blh,hv->blv", hidden, params["lm_head"],
                       preferred_element_type=jnp.float32)
 

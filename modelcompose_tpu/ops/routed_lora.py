@@ -38,7 +38,12 @@ def routed_lora_matmul(x, w, lora_a, lora_b, route):
     Returns:
       [..., L, d_out] in x.dtype.
     """
-    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    from .quant import dequant_matmul, is_quantized
+    if is_quantized(w):
+        y = dequant_matmul(x, w).astype(jnp.float32)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w,
+                       preferred_element_type=jnp.float32)
     if route is not None:
         u = jnp.einsum("...i,air->...ar", x, lora_a,
                        preferred_element_type=jnp.float32)

@@ -1,0 +1,50 @@
+"""Weight-only int8 decode quantization (ops/quant.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modelcompose_tpu.config import tiny_test_config
+from modelcompose_tpu.core.generate import generate
+from modelcompose_tpu.core.llama import init_params
+from modelcompose_tpu.ops.quant import (dequant_matmul, is_quantized,
+                                        quantize_backbone, quantize_int8)
+
+
+def test_quantize_roundtrip_accuracy():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32)
+    wq = quantize_int8(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64), jnp.float32)
+    y_ref = x @ w
+    y_q = dequant_matmul(x, wq)
+    rel = float(jnp.abs(y_q - y_ref).max() / jnp.abs(y_ref).max())
+    assert rel < 0.02, rel
+
+
+def test_quantize_backbone_structure():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_backbone(params)
+    assert is_quantized(qp["layers"]["attn"]["q"]["w"])
+    assert qp["layers"]["attn"]["q"]["w"]["q"].dtype == jnp.int8
+    assert is_quantized(qp["lm_head"])
+    # adapters untouched; original tree unmodified
+    assert not is_quantized(qp["layers"]["attn"]["q"]["lora_a"])
+    assert not is_quantized(params["layers"]["attn"]["q"]["w"])
+
+
+def test_quantized_generate_close_to_fp():
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8)
+    # non-degenerate weights so argmax is stable-ish
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_backbone(params)
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.hidden_size),
+                               jnp.float32)
+    lengths = np.array([8])
+    table = cfg.routing_table()
+    out_fp = generate(params, cfg, embeds, lengths=lengths,
+                      routing_table=table, max_new_tokens=4)
+    out_q = generate(qp, cfg, embeds, lengths=lengths,
+                     routing_table=table, max_new_tokens=4)
+    # int8 is an approximation: outputs must be well-formed; typically equal
+    assert len(out_q[0]) > 0 and len(out_fp[0]) > 0

@@ -156,3 +156,32 @@ def test_param_pspecs_cover_tree(vision_model):
     jax.tree.map(lambda a, b: None, vision_model.params, specs,
                  is_leaf=lambda x: hasattr(x, "ndim") or
                  type(x).__name__ == "PartitionSpec")
+
+
+def test_remat_training_matches_no_remat():
+    """cfg.remat rematerializes decoder layers; loss/grads identical."""
+    import jax
+    from modelcompose_tpu.core.llama import forward, init_params
+    from modelcompose_tpu.models.model import causal_lm_loss
+
+    def run(remat):
+        cfg = tiny_test_config(remat=remat)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        embeds = jax.random.normal(jax.random.PRNGKey(1),
+                                   (1, 8, cfg.hidden_size), jnp.float32)
+        labels = jnp.array([[1, 2, 3, 4, 5, 6, 7, 2]])
+
+        def loss_fn(p):
+            logits, _ = forward(p, cfg, embeds,
+                                routing_table=jnp.asarray(cfg.routing_table()))
+            return causal_lm_loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return float(loss), grads
+
+    l0, g0 = run(False)
+    l1, g1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g0["layers"]["attn"]["q"]["lora_b"]),
+        np.asarray(g1["layers"]["attn"]["q"]["lora_b"]), atol=1e-6)
