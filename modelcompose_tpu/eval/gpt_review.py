@@ -1,0 +1,108 @@
+"""GPT-judge scoring with retry backoff.
+
+Rebuild of the reference's GPT-judge evals (reference: modelcompose/eval/
+eval_gpt_review*.py and scripts/model_composition/test/
+eval_point_tasks_gpt.py:17-40 — the exponential-backoff retry is the
+resilience mechanism SURVEY.md §5 calls out).  The OpenAI client is gated:
+in a zero-egress environment ``judge_fn`` can be injected (tests), and the
+CLI fails with a clear message if no client is available.
+
+Usage: python -m modelcompose_tpu.eval.gpt_review \
+    --question q.jsonl --answer-list a1.jsonl a2.jsonl --rule rule.json \
+    --output review.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Optional
+
+NUM_SECONDS_TO_SLEEP = 0.5
+
+
+def call_with_backoff(fn: Callable[[], str], max_retries: int = 5,
+                      base_sleep: float = NUM_SECONDS_TO_SLEEP,
+                      sleep_fn=time.sleep) -> str:
+    """Exponential-backoff retry (reference: eval_point_tasks_gpt.py:17-40)."""
+    last_err: Optional[Exception] = None
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — judge APIs throw everything
+            last_err = e
+            sleep_fn(base_sleep * (2 ** attempt))
+    raise RuntimeError(f"judge failed after {max_retries} retries: "
+                       f"{last_err}")
+
+
+def default_judge(system_prompt: str, content: str, model: str,
+                  max_tokens: int) -> str:
+    try:
+        import openai
+    except ImportError as e:
+        raise RuntimeError(
+            "no OpenAI client in this environment; inject judge_fn or run "
+            "where the openai package is available") from e
+    client = openai.OpenAI()
+    resp = client.chat.completions.create(
+        model=model,
+        messages=[{"role": "system", "content": system_prompt},
+                  {"role": "user", "content": content}],
+        temperature=0.2, max_tokens=max_tokens)
+    return resp.choices[0].message.content
+
+
+def parse_score(review: str):
+    """First line 'x y' -> [x, y] (reference: eval_gpt_review.py)."""
+    try:
+        score_pair = review.split("\n")[0].replace(",", " ")
+        sp = score_pair.split()  # robust to "8, 7" double spaces
+        if len(sp) == 2:
+            return [float(sp[0]), float(sp[1])]
+        return [-1, -1]
+    except Exception:
+        return [-1, -1]
+
+
+def review_pairs(questions, answers1, answers2, rule: dict,
+                 judge_fn: Callable[[str, str], str]):
+    """Yield review records for answer pairs under a judging rule."""
+    for q, a1, a2 in zip(questions, answers1, answers2):
+        content = (f"[Question]\n{q['text']}\n\n"
+                   f"[Assistant 1]\n{a1['text']}\n\n[End of Assistant 1]\n\n"
+                   f"[Assistant 2]\n{a2['text']}\n\n[End of Assistant 2]\n\n"
+                   f"[System]\n{rule['prompt']}\n\n")
+        review = call_with_backoff(
+            lambda c=content: judge_fn(rule.get("role", "Assistant"), c))
+        yield {"question_id": q.get("question_id", q.get("id")),
+               "review": review, "scores": parse_score(review)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--question", required=True)
+    parser.add_argument("--answer-list", nargs=2, required=True)
+    parser.add_argument("--rule", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--model", default="gpt-4")
+    parser.add_argument("--max-tokens", type=int, default=1024)
+    args = parser.parse_args()
+
+    questions = [json.loads(l) for l in open(args.question)]
+    a1 = [json.loads(l) for l in open(args.answer_list[0])]
+    a2 = [json.loads(l) for l in open(args.answer_list[1])]
+    rule = json.load(open(args.rule))
+
+    def judge(system, content):
+        return default_judge(system, content, args.model, args.max_tokens)
+
+    with open(args.output, "w") as f:
+        for rec in review_pairs(questions, a1, a2, rule, judge):
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,14 @@ class ClipVisionTower:
                 image_size=28, patch_size=14,
                 select_layer=model_cfg.mm_vision_select_layer,
                 select_feature=model_cfg.mm_vision_select_feature)
+        elif "LanguageBind_Image" in spec:
+            # alternate image tower: LanguageBind image CLIP, ViT-L/14-224,
+            # 256 patch tokens (reference: multimodal_encoder/
+            # builder.py:81-82, languagebind/__init__.py:94-176)
+            self.cfg = ClipVisionConfig(
+                image_size=224,
+                select_layer=model_cfg.mm_vision_select_layer,
+                select_feature=model_cfg.mm_vision_select_feature)
         else:
             self.cfg = ClipVisionConfig(
                 select_layer=model_cfg.mm_vision_select_layer,

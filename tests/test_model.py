@@ -88,7 +88,7 @@ def test_text_only_batch(tiny_vision_model):
 
 
 def test_device_loop_matches_host_loop(tiny_vision_model):
-    from modelcompose_tpu.core import generate as gen
+    import modelcompose_tpu.core.generate as gen
     model = tiny_vision_model
     proc = model.modal_processors()["vision"]
     import numpy as np
