@@ -93,6 +93,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--group_by_modality_length", type=lambda s: s == "True",
                    default=False)
     p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--logging_steps", type=int, default=10)
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
     p.add_argument("--seed", type=int, default=42)
@@ -284,10 +285,13 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         else:
             order = get_length_grouped_indices(
                 [abs(l) for l in dataset.modality_lengths], B, 1, rng)
-        for i in range(0, len(order) - B + 1, B):
+        from ..data.loader import PrefetchLoader
+        loader = PrefetchLoader(dataset, order, B, collator,
+                                num_workers=args.dataloader_num_workers,
+                                prefetch=4)
+        for collated in loader:
             if step_idx >= total_steps:
                 break
-            collated = collator([dataset[j] for j in order[i:i + B]])
             batch, layout = make_batch(model, collated)
             with mesh:
                 batch = {k: (jax.device_put(v, bs)

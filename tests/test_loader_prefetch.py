@@ -1,0 +1,73 @@
+"""Prefetching data loader (data/loader.py)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from modelcompose_tpu.data.loader import PrefetchLoader
+
+
+class SlowDataset:
+    def __init__(self, n, delay=0.005):
+        self.n = n
+        self.delay = delay
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        time.sleep(self.delay)
+        return i
+
+
+def collate(samples):
+    return list(samples)
+
+
+def test_order_preserved_with_workers():
+    ds = SlowDataset(40, delay=0.001)
+    order = list(range(40))
+    loader = PrefetchLoader(ds, order, batch_size=4, collate=collate,
+                            num_workers=4, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 10
+    assert batches[0] == [0, 1, 2, 3]
+    assert [b for batch in batches for b in batch] == order
+
+
+def test_synchronous_mode():
+    ds = SlowDataset(8, delay=0)
+    loader = PrefetchLoader(ds, list(range(8)), 4, collate, num_workers=0)
+    assert list(loader) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+def test_drops_trailing_partial_batch():
+    ds = SlowDataset(10, delay=0)
+    loader = PrefetchLoader(ds, list(range(10)), 4, collate, num_workers=2)
+    assert len(loader) == 2
+
+
+def test_worker_exception_propagates():
+    class Bad(SlowDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return i
+
+    loader = PrefetchLoader(Bad(8, 0), list(range(8)), 4, collate,
+                            num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(loader)
+
+
+def test_workers_overlap_decode():
+    ds = SlowDataset(32, delay=0.01)  # 0.32 s serial decode
+    order = list(range(32))
+    t0 = time.perf_counter()
+    list(PrefetchLoader(ds, order, 4, collate, num_workers=8, prefetch=4))
+    parallel_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    list(PrefetchLoader(ds, order, 4, collate, num_workers=0))
+    serial_time = time.perf_counter() - t0
+    assert parallel_time < serial_time * 0.7
