@@ -271,13 +271,20 @@ def convert_point_bert(state: Dict[str, np.ndarray], cfg: PointBertConfig,
                 "mean": g(f"{prefix}.running_mean"),
                 "var": g(f"{prefix}.running_var")}
 
+    def bias_or_zero(prefix, d_out):
+        # PointBERT's ViT blocks use qkv_bias=False (reference:
+        # pointbert/point_encoder.py:38) — zero-fill missing biases
+        key = f"{prefix}.bias"
+        return g(key) if key in state else np.zeros(d_out, np.float32)
+
     def dense(prefix):
-        return {"w": g(f"{prefix}.weight").T, "b": g(f"{prefix}.bias")}
+        w = g(f"{prefix}.weight")
+        return {"w": w.T, "b": bias_or_zero(prefix, w.shape[0])}
 
     def stack_dense(fmt):
-        return {"w": np.stack([g(fmt.format(i=i) + ".weight").T
-                               for i in range(L)]),
-                "b": np.stack([g(fmt.format(i=i) + ".bias")
+        ws = [g(fmt.format(i=i) + ".weight") for i in range(L)]
+        return {"w": np.stack([w.T for w in ws]),
+                "b": np.stack([bias_or_zero(fmt.format(i=i), ws[i].shape[0])
                                for i in range(L)])}
 
     def stack_ln(fmt):

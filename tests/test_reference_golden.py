@@ -167,3 +167,52 @@ def test_merge_cli_identical(ref, tmp_path, strategy):
         return re.search(r"Output\((.*?)\):", text, re.DOTALL).group(1)
 
     assert tag(out_ref) == tag(out_ours), strategy
+
+
+# ------------------------------------------------------------- preprocess
+
+def test_preprocess_v1_identical(ref):
+    import modelcompose.conversation as ref_conv_lib
+    import modelcompose.data.utils as ref_utils
+
+    from modelcompose_tpu.data import conversation as conversation_lib
+    from modelcompose_tpu.data.conversation import conv_templates
+    from modelcompose_tpu.data.preprocess import preprocess
+
+    tok = FakeLlamaTokenizer()
+    sources = [[{"from": "human", "value": "<image>\nwhat is shown"},
+                {"from": "gpt", "value": "a small cat"},
+                {"from": "human", "value": "any <audio> sound"},
+                {"from": "gpt", "value": "meowing"}]]
+
+    conversation_lib.default_conversation = conv_templates["vicuna_v1"]
+    ref_conv_lib.default_conversation = \
+        ref_conv_lib.conv_templates["vicuna_v1"]
+
+    ours = preprocess(sources, tok, has_image=True)
+    theirs = ref_utils.preprocess(sources, tok, has_image=True)
+    np.testing.assert_array_equal(ours["input_ids"][0],
+                                  theirs["input_ids"][0].numpy())
+    np.testing.assert_array_equal(ours["labels"][0],
+                                  theirs["labels"][0].numpy())
+
+
+def test_preprocess_plain_identical(ref):
+    import modelcompose.conversation as ref_conv_lib
+    import modelcompose.data.utils as ref_utils
+
+    from modelcompose_tpu.data import conversation as conversation_lib
+    from modelcompose_tpu.data.conversation import conv_templates
+    from modelcompose_tpu.data.preprocess import preprocess
+
+    tok = FakeLlamaTokenizer()
+    sources = [[{"from": "human", "value": "<image>"},
+                {"from": "gpt", "value": "a dog on grass"}]]
+    conversation_lib.default_conversation = conv_templates["plain"]
+    ref_conv_lib.default_conversation = ref_conv_lib.conv_templates["plain"]
+    ours = preprocess(sources, tok, has_image=True)
+    theirs = ref_utils.preprocess(sources, tok, has_image=True)
+    np.testing.assert_array_equal(ours["input_ids"][0],
+                                  theirs["input_ids"][0].numpy())
+    np.testing.assert_array_equal(ours["labels"][0],
+                                  theirs["labels"][0].numpy())
