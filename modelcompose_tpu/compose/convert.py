@@ -44,8 +44,6 @@ def hf_llama_to_params(state: Dict[str, np.ndarray], cfg: ModelConfig,
     stacked-decoder pytree of core/llama.py.  LoRA tensors are zero-initialized
     (B must be zero anyway; A is overlaid by load_adapter_into_params)."""
     import jax.numpy as jnp
-    dt = np.dtype(dtype or cfg.dtype) if (dtype or cfg.dtype) != "bfloat16" \
-        else None  # numpy has no bf16; keep fp32 and cast at device put
     N, A, r = cfg.num_hidden_layers, len(cfg.adapter_names()), cfg.lora_r
     H, I = cfg.hidden_size, cfg.intermediate_size
     kv_out = cfg.num_key_value_heads * cfg.head_dim
@@ -87,11 +85,9 @@ def hf_llama_to_params(state: Dict[str, np.ndarray], cfg: ModelConfig,
         "norm": _np(state["model.norm.weight"]),
         "lm_head": _np(state["lm_head.weight"]).T,
     }
-    target = jnp.dtype(cfg.dtype)
     import jax
-    params = jax.tree.map(lambda x: jnp.asarray(x, target), params)
-    _ = dt
-    return params
+    target = jnp.dtype(dtype or cfg.dtype)
+    return jax.tree.map(lambda x: jnp.asarray(x, target), params)
 
 
 # ---------------------------------------------------------------------------

@@ -328,18 +328,6 @@ def _flash_attention_backward(q, k, v, o, lse, do, q_segment_ids,
     qseg = _lift_segments(_pad_to(q_segment_ids, 1, blk_q), B)
     kvseg = _lift_segments(_pad_to(kv_segment_ids, 1, blk_k), B)
 
-    common_in_specs = [
-        pl.BlockSpec((1, 1, blk_q, Dp), None),   # q — index map set per call
-        pl.BlockSpec((1, 1, blk_k, Dp), None),   # k
-        pl.BlockSpec((1, 1, blk_k, Dp), None),   # v
-        pl.BlockSpec((1, 1, blk_q, Dp), None),   # do
-        pl.BlockSpec((1, 1, blk_q, LANES), None),  # lse
-        pl.BlockSpec((1, 1, blk_q, LANES), None),  # di
-        pl.BlockSpec((1, 8, blk_q), None),       # qseg
-        pl.BlockSpec((1, 8, blk_k), None),       # kvseg
-    ]
-    _ = common_in_specs
-
     # ---- dq: grid (B, H, nq, nk), kv innermost ----
     def q_map(b, h, iq, ik):
         return (b, h, iq, 0)

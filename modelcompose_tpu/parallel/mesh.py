@@ -49,8 +49,7 @@ def mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
 # Sharding specs
 # ---------------------------------------------------------------------------
 
-def param_pspecs(params: Dict[str, Any], zero_shard_data: bool = False
-                 ) -> Dict[str, Any]:
+def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     """PartitionSpec tree matching core/llama.py's stacked param pytree.
 
     Layer-stacked tensors have a leading layer axis (unsharded).  TP axis
@@ -86,7 +85,6 @@ def param_pspecs(params: Dict[str, Any], zero_shard_data: bool = False
     for extra in ("prefix_tokens", "suffix_tokens"):
         if extra in params:
             specs[extra] = {m: P() for m in params[extra]}
-    _ = zero_shard_data
     return specs
 
 

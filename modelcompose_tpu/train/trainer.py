@@ -121,10 +121,6 @@ def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
                      tc: TrainConfig) -> Dict[str, Any]:
     """Label pytree over {'backbone':..., 'projectors':...}."""
     backbone = train_params["backbone"]
-
-    def label_backbone(path_leaf):
-        return path_leaf
-
     labels = jax.tree.map(lambda _: "frozen", train_params)
     lb = labels["backbone"]
     lora_on = not tc.tune_mm_mlp_adapter and \
@@ -140,7 +136,6 @@ def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
                                                     backbone[kind])
     labels["projectors"] = jax.tree.map(lambda _: "proj",
                                         train_params["projectors"])
-    _ = label_backbone
     return labels
 
 

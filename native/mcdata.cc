@@ -115,7 +115,6 @@ int mc_fbank(const float* waveform, int64_t n, float* out, int num_bins,
   int fft_size = 1;
   while (fft_size < win) fft_size <<= 1;
 
-  static thread_local std::vector<float> window_cache;
   std::vector<float> window(win);
   for (int i = 0; i < win; ++i) {
     window[i] = std::pow(
@@ -171,7 +170,6 @@ int mc_fbank(const float* waveform, int64_t n, float* out, int num_bins,
     }
     for (auto& th : threads) th.join();
   }
-  (void)window_cache;
   return num_frames;
 }
 

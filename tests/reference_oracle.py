@@ -60,9 +60,57 @@ def load_reference_arch():
         sys.meta_path.insert(0, _AutoStubFinder())
         sys.path.insert(0, REFERENCE_ROOT)
         _shim_transformers()
+        _shim_old_peft()
         _installed = True
     import modelcompose.model.multimodal_arch as arch
     return arch
+
+
+def _shim_old_peft():
+    """The reference subclasses peft<=0.4's ``lora.Linear`` (positional
+    adapter_name/in/out signature, lora_A/B ModuleDicts); peft 0.19 changed
+    the API.  Install a minimal old-API base class so LocalLoraLinear
+    constructs and its forward math can be golden-tested."""
+    import math
+
+    import torch
+    import torch.nn as nn
+    import peft.tuners.lora as lora_mod
+
+    class OldPeftLoraLinear(nn.Linear):
+        def __init__(self, adapter_name, in_features, out_features, r=0,
+                     lora_alpha=1, lora_dropout=0.0, fan_in_fan_out=False,
+                     is_target_conv_1d_layer=False, **kwargs):
+            nn.Linear.__init__(self, in_features, out_features, bias=True)
+            self.fan_in_fan_out = fan_in_fan_out
+            self.lora_A = nn.ModuleDict()
+            self.lora_B = nn.ModuleDict()
+            self.lora_dropout = nn.ModuleDict()
+            self.scaling = {}
+            self.r = {}
+            self.update_layer(adapter_name, r, lora_alpha, lora_dropout,
+                              kwargs.get("init_lora_weights", True))
+
+        def update_layer(self, adapter_name, r, lora_alpha, lora_dropout,
+                         init_lora_weights=True):
+            self.r[adapter_name] = r
+            self.lora_A[adapter_name] = nn.Linear(self.in_features, r,
+                                                  bias=False)
+            self.lora_B[adapter_name] = nn.Linear(r, self.out_features,
+                                                  bias=False)
+            self.lora_dropout[adapter_name] = (
+                nn.Dropout(lora_dropout) if lora_dropout > 0
+                else nn.Identity())
+            self.scaling[adapter_name] = lora_alpha / r
+            if init_lora_weights:
+                self.reset_lora_parameters(adapter_name)
+
+        def reset_lora_parameters(self, adapter_name):
+            nn.init.kaiming_uniform_(self.lora_A[adapter_name].weight,
+                                     a=math.sqrt(5))
+            nn.init.zeros_(self.lora_B[adapter_name].weight)
+
+    lora_mod.Linear = OldPeftLoraLinear
 
 
 def _shim_transformers():

@@ -107,3 +107,50 @@ def test_process_images_pad_mode():
     img = Image.fromarray(np.zeros((60, 40, 3), np.uint8))
     out = process_images([img], proc, image_aspect_ratio="pad")
     assert out.shape == (1, 28, 28, 3)
+
+
+def test_clip_processor_matches_hf():
+    """Our host preprocessing vs transformers' CLIPImageProcessor."""
+    from transformers import CLIPImageProcessor as HFProc
+    hf = HFProc(size={"shortest_edge": 28}, crop_size={"height": 28,
+                                                       "width": 28},
+                do_resize=True, do_center_crop=True, do_rescale=True,
+                do_normalize=True,
+                image_mean=list(ClipImageProcessor().image_mean),
+                image_std=list(ClipImageProcessor().image_std))
+    ours = ClipImageProcessor(size=28)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(40, 56, 3) * 255).astype(np.uint8))
+    want = hf(img, return_tensors="np")["pixel_values"][0]  # [3, H, W]
+    got = ours([img])[0].transpose(2, 0, 1)                 # NHWC -> CHW
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_process_images_matches_reference(tmp_path):
+    """expand2square pad path vs the reference's mm_utils.process_images."""
+    from tests.reference_oracle import reference_available
+    if not reference_available():
+        import pytest
+        pytest.skip("/root/reference not mounted")
+    from tests.reference_oracle import load_reference_arch
+    load_reference_arch()
+    import modelcompose.mm_utils as ref_mm
+
+    class HFLikeProc:
+        image_mean = list(ClipImageProcessor().image_mean)
+
+        def preprocess(self, image, return_tensors=None):
+            arr = ClipImageProcessor(size=28)([image])[0]  # HWC
+            import torch
+            return {"pixel_values":
+                    [torch.from_numpy(arr.transpose(2, 0, 1))]}
+
+    class Cfg:
+        image_aspect_ratio = "pad"
+
+    img = Image.fromarray(
+        (np.random.RandomState(1).rand(30, 50, 3) * 255).astype(np.uint8))
+    theirs = ref_mm.process_images([img], HFLikeProc(), Cfg())[0].numpy()
+    ours = process_images([img], ClipImageProcessor(size=28),
+                          image_aspect_ratio="pad")[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)

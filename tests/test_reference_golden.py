@@ -216,3 +216,100 @@ def test_preprocess_plain_identical(ref):
                                   theirs["input_ids"][0].numpy())
     np.testing.assert_array_equal(ours["labels"][0],
                                   theirs["labels"][0].numpy())
+
+
+# --------------------------------------------------- LocalLoraLinear math
+
+def test_routed_lora_matches_reference_local_lora_linear(ref):
+    """Our masked-einsum routing == the reference's dict-dispatch
+    LocalLoraLinear (reference: multimodal_llama.py:120-160), including the
+    online-merge reset-scaling 'default' mix (:92-148)."""
+    import torch
+    import modelcompose.model.language_model.multimodal_llama as ref_ml
+
+    import jax.numpy as jnp
+    from modelcompose_tpu.config import ModelConfig, ROUTE_CLASS_INDEX
+    from modelcompose_tpu.ops.routed_lora import routed_lora_matmul
+
+    torch.manual_seed(0)
+    d_in, d_out, r = 8, 16, 4
+    reset = "default-vision=0.5,default-audio=0.25"
+    lin = ref_ml.LocalLoraLinear(
+        ["default", "audio", "vision"], d_in, d_out, r=r, lora_alpha=8,
+        lora_dropout=0.0, reset_scaling_weights=reset)
+    with torch.no_grad():
+        lin.bias.zero_()
+        for name in lin.lora_B:  # make zero-init B non-trivial
+            lin.lora_B[name].weight.add_(
+                torch.randn_like(lin.lora_B[name].weight) * 0.1)
+    lin.eval()
+
+    x = torch.randn(2, 5, d_in)
+    with torch.no_grad():
+        outs = lin(x, active_adapters=["default", "audio", "vision"])
+
+    cfg = ModelConfig(hidden_size=d_in, lora_r=r, lora_alpha=8,
+                      lora_strategy="modal+language",
+                      mm_vision_encoder="clip", mm_audio_encoder="beats",
+                      reset_scaling_weights=reset)
+    names = cfg.adapter_names()
+    assert names == ["default", "audio", "vision", "default-audio",
+                     "default-vision"]
+    A = jnp.stack([jnp.asarray(lin.lora_A[n].weight.detach().numpy().T)
+                   for n in names])
+    B = jnp.stack([jnp.asarray(lin.lora_B[n].weight.detach().numpy().T)
+                   for n in names])
+    W = jnp.asarray(lin.weight.detach().numpy().T)
+    table = jnp.asarray(cfg.routing_table())
+    xj = jnp.asarray(x.numpy())
+
+    for cls_name, ref_key in (("default", "default"), ("audio", "audio"),
+                              ("vision", "vision")):
+        cls = ROUTE_CLASS_INDEX[cls_name] if cls_name != "default" else 0
+        route = jnp.broadcast_to(table[cls], (2, 5, len(names)))
+        ours = routed_lora_matmul(xj, W, A, B, route)
+        np.testing.assert_allclose(np.asarray(ours),
+                                   outs[ref_key].numpy(), atol=1e-5,
+                                   err_msg=cls_name)
+
+
+def test_routed_lora_matches_reference_no_merge(ref):
+    import torch
+    import modelcompose.model.language_model.multimodal_llama as ref_ml
+
+    import jax.numpy as jnp
+    from modelcompose_tpu.config import ModelConfig, ROUTE_CLASS_INDEX
+    from modelcompose_tpu.ops.routed_lora import routed_lora_matmul
+
+    torch.manual_seed(2)
+    d_in, d_out, r = 8, 12, 4
+    lin = ref_ml.LocalLoraLinear(["default", "vision"], d_in, d_out, r=r,
+                                 lora_alpha=8, lora_dropout=0.0)
+    with torch.no_grad():
+        lin.bias.zero_()
+        for name in lin.lora_B:
+            lin.lora_B[name].weight.add_(
+                torch.randn_like(lin.lora_B[name].weight) * 0.1)
+    lin.eval()
+    x = torch.randn(1, 4, d_in)
+    with torch.no_grad():
+        outs = lin(x, active_adapters=["default", "vision"])
+
+    cfg = ModelConfig(hidden_size=d_in, lora_r=r, lora_alpha=8,
+                      lora_strategy="modal+language",
+                      mm_vision_encoder="clip")
+    names = cfg.adapter_names()
+    A = jnp.stack([jnp.asarray(lin.lora_A[n].weight.detach().numpy().T)
+                   for n in names])
+    B = jnp.stack([jnp.asarray(lin.lora_B[n].weight.detach().numpy().T)
+                   for n in names])
+    W = jnp.asarray(lin.weight.detach().numpy().T)
+    table = jnp.asarray(cfg.routing_table())
+    xj = jnp.asarray(x.numpy())
+    for cls_name in ("default", "vision"):
+        cls = 0 if cls_name == "default" else ROUTE_CLASS_INDEX["vision"]
+        route = jnp.broadcast_to(table[cls], (1, 4, len(names)))
+        ours = routed_lora_matmul(xj, W, A, B, route)
+        np.testing.assert_allclose(np.asarray(ours),
+                                   outs[cls_name].numpy(), atol=1e-5,
+                                   err_msg=cls_name)
