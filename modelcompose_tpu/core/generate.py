@@ -97,7 +97,8 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
              route_ids=None, routing_table=None, segment_ids=None,
              max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
              temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
-             attn_impl: str = "auto", device_loop: bool = True):
+             attn_impl: str = "auto", device_loop: bool = True,
+             fold_decode: bool = False):
     """Generate token ids.
 
     Args:
@@ -126,10 +127,20 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
 
     if device_loop:
         # One compiled program for the whole decode; a single host sync.
+        # fold_decode compacts the static default-route adapters into one
+        # low-rank pair so the step stops streaming inactive adapter rows
+        # from HBM (~2.5 GB/step at 7B r=128) — but the folded copies stay
+        # resident NEXT TO the full params, which can exceed HBM at 7B;
+        # opt-in for memory headroom (ops/routed_lora.fold_decode_adapters).
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        tokens = _decode_loop(params, cfg, cache, logits, lengths,
-                              routing_table, rng, max_new_tokens,
+        decode_params, decode_table = params, routing_table
+        if fold_decode and routing_table is not None:
+            from ..ops.routed_lora import fold_decode_adapters
+            decode_params, decode_table = fold_decode_adapters(
+                params, np.asarray(routing_table)[0])
+        tokens = _decode_loop(decode_params, cfg, cache, logits, lengths,
+                              decode_table, rng, max_new_tokens,
                               -1 if eos is None else int(eos),
                               float(temperature))
         host = np.asarray(tokens)

@@ -66,6 +66,51 @@ def route_weights(route_ids, routing_table):
     return jnp.take(routing_table, route_ids, axis=0)
 
 
+def fold_decode_adapters(params, default_route):
+    """Compact the stacked adapters to the decode-time 'default' mix.
+
+    During decode every token takes the default route (reference:
+    multimodal_llama.py:436-438), whose row is STATIC for a generation —
+    only the rows with nonzero weight (the 'default' adapter, or the
+    ``default-{modal}`` merge rows) are ever read.  Folding them into one
+    concatenated low-rank pair [1, d_in, R] x [1, R, d_out] (coefficients
+    scaled into B) cuts the per-step adapter HBM traffic from all A rows to
+    just the active ones, and the routing gather disappears.
+
+    Args:
+      params: core/llama.py param tree (leaves may be int8-quantized dicts
+        for ``w``; adapters are always dense).
+      default_route: numpy [n_adapters] routing-table row 0.
+
+    Returns: (decode_params, decode_routing_table [1, 1]).
+    """
+    import numpy as np
+
+    support = [int(i) for i in np.nonzero(np.asarray(default_route))[0]]
+
+    def fold_linear(p):
+        if not support:  # routing inactive: keep a zeroed rank-r branch
+            a = p["lora_a"][:, :1] * 0
+            b = p["lora_b"][:, :1] * 0
+        else:
+            # [N, in, r*k] and [N, r*k, out], coefficient folded into B
+            a = jnp.concatenate([p["lora_a"][:, i] for i in support],
+                                axis=2)[:, None]
+            b = jnp.concatenate(
+                [p["lora_b"][:, i] * float(default_route[i])
+                 for i in support], axis=1)[:, None]
+        return {"w": p["w"], "lora_a": a, "lora_b": b}
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for grp in ("attn", "mlp"):
+        layers[grp] = {name: fold_linear(p)
+                       for name, p in params["layers"][grp].items()}
+    out["layers"] = layers
+    table = jnp.ones((1, 1), jnp.float32)
+    return out, table
+
+
 def fold_default_adapter(w, lora_a, lora_b, default_route):
     """Fold the decode-time ('default' class) adapter mix densely into w.
 

@@ -22,6 +22,7 @@ import asyncio
 import base64
 import io
 import json
+import queue
 import threading
 import time
 import uuid
@@ -36,6 +37,49 @@ from ..utils.logging import build_logger
 logger = build_logger("model_worker", "model_worker.log")
 
 GB = 1 << 30
+
+
+class BatchingEngine:
+    """Micro-batching: concurrent requests within a small window run as ONE
+    packed generation (static-shape packing makes mixed prompts compile
+    once).  The reference worker serializes requests behind a semaphore
+    (reference: model_worker.py:230-243); here they share the chip.
+    """
+
+    def __init__(self, generate_batch, max_batch: int = 8,
+                 batch_wait_ms: float = 5.0):
+        self.generate_batch = generate_batch
+        self.max_batch = max_batch
+        self.batch_wait_s = batch_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: dict) -> "queue.Queue":
+        done: "queue.Queue" = queue.Queue(maxsize=1)
+        self._queue.put((request, done))
+        return done
+
+    def _loop(self):
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            deadline = time.time() + self.batch_wait_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            requests = [b[0] for b in batch]
+            try:
+                results = self.generate_batch(requests)
+            except Exception as e:  # surface per-request
+                results = [e] * len(batch)
+            for (_, done), res in zip(batch, results):
+                done.put(res)
 
 
 class ModelWorker:
@@ -53,6 +97,8 @@ class ModelWorker:
          self.context_len) = loader(model_path, model_base, self.model_name)
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
+        self.engine = BatchingEngine(self._generate_batch,
+                                     max_batch=limit_concurrency)
         if not no_register:
             self.register_to_controller()
             self.heart_beat_thread = threading.Thread(
@@ -107,22 +153,47 @@ class ModelWorker:
                 out[modal] = np.asarray(items, np.float32)
         return out
 
+    def _generate_batch(self, requests):
+        """Run a micro-batch of requests as one packed generation when
+        none carry media; media requests fall back to per-request calls
+        (their feature instances would otherwise interleave)."""
+        import jax
+        rng = jax.random.PRNGKey(int(time.time()))
+        outs = []
+        simple = all(not r.get("modal_inputs") for r in requests)
+        if simple and len(requests) > 1:
+            ids = [np.asarray(tokenizer_modal_token(r["prompt"],
+                                                    self.tokenizer), np.int64)
+                   for r in requests]
+            max_new = max(min(int(r.get("max_new_tokens", 256)), 1024)
+                          for r in requests)
+            temps = [float(r.get("temperature", 1.0)) for r in requests]
+            temp = temps[0] if all(t == temps[0] for t in temps) else 0.0
+            tokens = self.model.generate(
+                ids, {}, max_new_tokens=max_new,
+                temperature=temp if temp > 1e-4 else 0.0, rng=rng)
+            return tokens
+        for r in requests:
+            modal_inputs = self.decode_modal_inputs(r.get("modal_inputs"))
+            ids = np.asarray(tokenizer_modal_token(r["prompt"],
+                                                   self.tokenizer), np.int64)
+            outs.append(self.model.generate(
+                [ids], modal_inputs,
+                max_new_tokens=min(int(r.get("max_new_tokens", 256)), 1024),
+                temperature=float(r.get("temperature", 1.0))
+                if float(r.get("temperature", 1.0)) > 1e-4 else 0.0,
+                rng=rng)[0])
+        return outs
+
     def generate_stream(self, params: dict):
         prompt = params["prompt"]
-        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
-        temperature = float(params.get("temperature", 1.0))
         stop_str = params.get("stop")
-        modal_inputs = self.decode_modal_inputs(params.get("modal_inputs"))
-
-        ids = np.asarray(tokenizer_modal_token(prompt, self.tokenizer),
-                         np.int64)
         self.queue_length += 1
         try:
-            import jax
-            tokens = self.model.generate(
-                [ids], modal_inputs, max_new_tokens=max_new_tokens,
-                temperature=temperature if temperature > 1e-4 else 0.0,
-                rng=jax.random.PRNGKey(int(time.time())))[0]
+            done = self.engine.submit(params)
+            tokens = done.get()
+            if isinstance(tokens, Exception):
+                raise tokens
         finally:
             self.queue_length -= 1
         text = self.tokenizer.decode(tokens, skip_special_tokens=True)

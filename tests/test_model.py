@@ -107,3 +107,20 @@ def test_device_loop_matches_host_loop(tiny_vision_model):
     host = gen.generate(model.params, model.cfg, embeds, device_loop=False,
                         **kwargs)
     assert dev == host, (dev, host)
+
+
+def test_fold_decode_generate_equivalence(tiny_vision_model):
+    import modelcompose_tpu.core.generate as gen
+    model = tiny_vision_model
+    pixels = np.random.RandomState(5).rand(1, 28, 28, 3).astype(np.float32)
+    ids = [np.array([1, 5, IMG, 9])]
+    embeds, plan = model.prepare_batch(ids, {"vision": pixels},
+                                       bucket_len=16)
+    kwargs = dict(lengths=plan.lengths, route_ids=plan.route_ids,
+                  routing_table=model.routing_table,
+                  segment_ids=plan.segment_ids, max_new_tokens=6)
+    folded = gen.generate(model.params, model.cfg, embeds,
+                          fold_decode=True, **kwargs)
+    plain = gen.generate(model.params, model.cfg, embeds,
+                         fold_decode=False, **kwargs)
+    assert folded == plain

@@ -150,3 +150,40 @@ def test_route_weights_gather():
     assert rw.shape == (1, 3, 2)
     np.testing.assert_allclose(np.asarray(rw[0, 1]),
                                cfg.routing_table()[ROUTE_CLASS_INDEX["vision"]])
+
+
+def test_fold_decode_adapters_equivalence():
+    """Folded decode adapters == full routed computation on the default
+    route, for plain and merge-reset tables."""
+    import jax
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.core.llama import init_params
+    from modelcompose_tpu.ops.routed_lora import (fold_decode_adapters,
+                                                  routed_lora_matmul)
+
+    cfg = tiny_test_config(
+        mm_vision_encoder="x", mm_hidden_size=8,
+        mm_audio_encoder="y", mm_audio_hidden_size=8,
+        reset_scaling_weights="default-vision=0.5,default-audio=0.25")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for grp in ("attn", "mlp"):
+        for name in params["layers"][grp]:
+            key, sub = jax.random.split(key)
+            p = params["layers"][grp][name]
+            p["lora_b"] = jax.random.normal(sub, p["lora_b"].shape) * 0.1
+
+    table = jnp.asarray(cfg.routing_table())
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, cfg.hidden_size))
+
+    folded, ftable = fold_decode_adapters(params, np.asarray(table)[0])
+    p_full = params["layers"]["attn"]["q"]
+    p_fold = folded["layers"]["attn"]["q"]
+    route_full = jnp.broadcast_to(table[0], (2, 3, table.shape[1]))
+    route_fold = jnp.broadcast_to(ftable[0], (2, 3, 1))
+    y_full = routed_lora_matmul(x, p_full["w"][0], p_full["lora_a"][0],
+                                p_full["lora_b"][0], route_full)
+    y_fold = routed_lora_matmul(x, p_fold["w"][0], p_fold["lora_a"][0],
+                                p_fold["lora_b"][0], route_fold)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_full),
+                               atol=1e-5)

@@ -187,3 +187,39 @@ def test_web_server_chat_flow():
         await ctrl_server.close()
 
     asyncio.get_event_loop().run_until_complete(run())
+
+
+def test_batching_engine_coalesces_requests():
+    from modelcompose_tpu.serve.model_worker import BatchingEngine
+    import threading
+
+    seen_batches = []
+
+    def gen(requests):
+        seen_batches.append(len(requests))
+        return [f"out-{r['prompt']}" for r in requests]
+
+    engine = BatchingEngine(gen, max_batch=4, batch_wait_ms=50)
+    results = {}
+
+    def call(i):
+        results[i] = engine.submit({"prompt": str(i)}).get()
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {i: f"out-{i}" for i in range(4)}
+    assert max(seen_batches) >= 2  # coalesced
+
+
+def test_batching_engine_error_propagates():
+    from modelcompose_tpu.serve.model_worker import BatchingEngine
+
+    def gen(requests):
+        raise RuntimeError("boom")
+
+    engine = BatchingEngine(gen, max_batch=2, batch_wait_ms=1)
+    res = engine.submit({"prompt": "x"}).get()
+    assert isinstance(res, RuntimeError)
