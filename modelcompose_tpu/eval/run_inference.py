@@ -1,0 +1,83 @@
+"""Single-shot multimodal inference (the reference's run_llava.py role,
+reference: modelcompose/eval/run_llava.py): load a composed checkpoint,
+answer one prompt over optional media, print the text.
+
+Usage: python -m modelcompose_tpu.eval.run_inference --model-path ckpt \
+    --model-base vicuna --image-file img.jpg --query "what is this?"
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..data import conversation as conversation_lib
+from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.tokenization import tokenizer_modal_token
+
+
+def run(args, loaded=None) -> str:
+    if loaded is None:
+        from ..models.loader import load_pretrained_model
+        name = args.model_path.rstrip("/").split("/")[-1]
+        loaded = load_pretrained_model(args.model_path, args.model_base,
+                                       name)
+    tokenizer, model, processors, _ = loaded
+    conversation_lib.default_conversation = conv_templates[args.conv_mode]
+
+    modal_inputs = {}
+    prefix = ""
+    if args.image_file:
+        from PIL import Image
+        from ..data.image_processing import process_images
+        img = Image.open(args.image_file).convert("RGB")
+        modal_inputs["vision"] = process_images(
+            [img], processors["vision"], image_aspect_ratio="pad")
+        prefix += "<image>\n"
+    if args.audio_file:
+        feats, mask = processors["audio"]([args.audio_file])
+        modal_inputs["audio"] = {"audio_inputs": feats,
+                                 "audio_padding_mask": mask}
+        prefix += "<audio>\n"
+    if args.video_file:
+        modal_inputs["video"] = processors["video"](args.video_file)
+        prefix += "<video>\n"
+    if args.point_file:
+        modal_inputs["point"] = processors["point"]([args.point_file])
+        prefix += "<point>\n"
+
+    conv = conv_templates[args.conv_mode].copy()
+    conv.append_message(conv.roles[0], prefix + args.query)
+    conv.append_message(conv.roles[1], None)
+    ids = np.asarray(tokenizer_modal_token(conv.get_prompt(), tokenizer),
+                     np.int64)
+    tokens = model.generate([ids], modal_inputs,
+                            max_new_tokens=args.max_new_tokens,
+                            temperature=args.temperature)[0]
+    text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+    stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+    if stop and text.endswith(stop):
+        text = text[:-len(stop)].strip()
+    print(text)
+    return text
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-base", default=None)
+    parser.add_argument("--query", required=True)
+    parser.add_argument("--conv-mode", default="vicuna_v1")
+    parser.add_argument("--image-file", default=None)
+    parser.add_argument("--audio-file", default=None)
+    parser.add_argument("--video-file", default=None)
+    parser.add_argument("--point-file", default=None)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--max-new-tokens", type=int, default=128)
+    args = parser.parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,3 +50,26 @@ def pretty_print_semaphore(sem) -> str:
         return "None"
     return (f"Semaphore(value={sem._value}, "
             f"locked={sem.locked()})")
+
+
+def violates_moderation(text: str) -> bool:
+    """OpenAI moderation check for the web UI (reference:
+    modelcompose/utils.py:102-121); fails open (False) on any error or when
+    no API key is configured — e.g. zero-egress deployments."""
+    import json as _json
+    import os as _os
+
+    import requests
+
+    api_key = _os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        return False
+    url = "https://api.openai.com/v1/moderations"
+    headers = {"Content-Type": "application/json",
+               "Authorization": "Bearer " + api_key}
+    data = _json.dumps({"input": text.replace("\n", "")}).encode("utf-8")
+    try:
+        ret = requests.post(url, headers=headers, data=data, timeout=5)
+        return bool(ret.json()["results"][0]["flagged"])
+    except (requests.exceptions.RequestException, KeyError, ValueError):
+        return False

@@ -95,3 +95,26 @@ def test_convert_record_vision_and_audio():
     out2 = convert_record(rec2, "audio")
     assert out2["modal_inputs"]["audio"] == ["x.wav"]
     assert out2["conversations"][0]["value"].startswith("<audio>")
+
+
+def test_compare_answers(tmp_path):
+    from modelcompose_tpu.eval.compare_answers import (compare, load_gold,
+                                                       load_answers_jsonl)
+    before = tmp_path / "before.jsonl"
+    after = tmp_path / "after.jsonl"
+    before.write_text("\n".join(json.dumps({"question_id": i, "text": t})
+                                for i, t in [(1, "cat"), (2, "dog"),
+                                             (3, "bird")]))
+    after.write_text("\n".join(json.dumps({"question_id": i, "text": t})
+                               for i, t in [(1, "fish"), (2, "dog"),
+                                            (3, "horse")]))
+    gold = tmp_path / "gold.json"
+    gold.write_text(json.dumps([
+        {"question_id": 1, "anser": "fish"},
+        {"question_id": 2, "anser": "dog"},
+        {"question_id": 3, "anser": "bird"}]))
+    fixed, broken = compare(load_answers_jsonl(str(before)),
+                            load_answers_jsonl(str(after)),
+                            load_gold(str(gold)))
+    assert [f[0] for f in fixed] == [1]
+    assert [b[0] for b in broken] == [3]
