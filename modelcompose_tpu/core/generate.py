@@ -23,12 +23,13 @@ from .llama import KVCache, forward, logits_from_hidden
 _PREFILL_CACHE = {}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl",
+                                              "kv_quant"))
 def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
              routing_table, segment_ids, lengths, max_len: int,
-             attn_impl: str):
+             attn_impl: str, kv_quant: bool = False):
     B, L, _ = inputs_embeds.shape
-    cache = KVCache.zeros(cfg, B, max_len)
+    cache = KVCache.zeros(cfg, B, max_len, quantized=kv_quant)
     logits, cache = forward(
         params, cfg, inputs_embeds, route_ids=route_ids,
         routing_table=routing_table, segment_ids=segment_ids,
@@ -98,7 +99,7 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
              max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
              temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
              attn_impl: str = "auto", device_loop: bool = True,
-             fold_decode: bool = False):
+             fold_decode: bool = False, kv_quant: bool = False):
     """Generate token ids.
 
     Args:
@@ -123,7 +124,7 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
 
     logits, cache = _prefill(params, cfg, inputs_embeds, route_ids,
                              routing_table, segment_ids, lengths, cache_len,
-                             attn_impl)
+                             attn_impl, kv_quant)
 
     if device_loop:
         # One compiled program for the whole decode; a single host sync.

