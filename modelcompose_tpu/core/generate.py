@@ -20,9 +20,6 @@ import numpy as np
 from ..config import ModelConfig
 from .llama import KVCache, forward, logits_from_hidden
 
-_PREFILL_CACHE = {}
-
-
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl",
                                               "kv_quant"))
 def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
@@ -153,6 +150,8 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
             outputs.append(row)
         return outputs
 
+    if rng is None and temperature and temperature > 0.0:
+        rng = jax.random.PRNGKey(0)
     kv_lens = lengths
     outputs = [[] for _ in range(B)]
     done = np.zeros(B, dtype=bool)
