@@ -92,6 +92,58 @@ def extract_projector(model_path: str, output: str) -> None:
     print(f"extracted {len(out)} projector tensors -> {output}")
 
 
+
+def merge_lora_to_dense(model_path: str, model_base: str,
+                        save_path: str) -> None:
+    """Materialize a composed checkpoint as a DENSE standalone model:
+    base weights + the decode-time default-adapter deltas folded in
+    (the reference's scripts/merge_lora_weights.py role — it re-saves the
+    lora-loaded model as plain weights)."""
+    import jax
+    import numpy as np
+
+    from ..models.loader import load_pretrained_model
+
+    _, model, _, _ = load_pretrained_model(
+        model_path, model_base, "merge-multimodal",
+        load_tokenizer_fn=lambda mb: None)
+    cfg = model.cfg
+    table = cfg.routing_table()
+    from ..ops.routed_lora import fold_default_adapter
+    params = model.params
+    out: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["embed_tokens"],
+                                                np.float32),
+        "model.norm.weight": np.asarray(params["norm"], np.float32),
+        "lm_head.weight": np.asarray(params["lm_head"], np.float32).T,
+    }
+    layer_map = {"self_attn.q_proj": ("attn", "q"),
+                 "self_attn.k_proj": ("attn", "k"),
+                 "self_attn.v_proj": ("attn", "v"),
+                 "self_attn.o_proj": ("attn", "o"),
+                 "mlp.gate_proj": ("mlp", "gate"),
+                 "mlp.up_proj": ("mlp", "up"),
+                 "mlp.down_proj": ("mlp", "down")}
+    default_row = table[0]
+    for i in range(cfg.num_hidden_layers):
+        for tname, (grp, ours) in layer_map.items():
+            p = params["layers"][grp][ours]
+            dense = fold_default_adapter(p["w"][i], p["lora_a"][i],
+                                         p["lora_b"][i],
+                                         jax.numpy.asarray(default_row))
+            out[f"model.layers.{i}.{tname}.weight"] = \
+                np.asarray(dense, np.float32).T
+        out[f"model.layers.{i}.input_layernorm.weight"] = \
+            np.asarray(params["layers"]["input_layernorm"][i], np.float32)
+        out[f"model.layers.{i}.post_attention_layernorm.weight"] = \
+            np.asarray(params["layers"]["post_attention_layernorm"][i],
+                       np.float32)
+    os.makedirs(save_path, exist_ok=True)
+    save_state(out, os.path.join(save_path, "model.safetensors"))
+    cfg.save(os.path.join(save_path, "config.json"))
+    print(f"dense merged model saved to {save_path}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -118,6 +170,11 @@ def main():
     p.add_argument("--model-path", required=True)
     p.add_argument("--output", required=True)
 
+    p = sub.add_parser("merge-lora")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-base", required=True)
+    p.add_argument("--save-model-path", required=True)
+
     args = parser.parse_args()
     if args.cmd == "apply-delta":
         apply_delta(args.base, args.delta, args.target)
@@ -129,6 +186,9 @@ def main():
         merge_projectors(args.paths, args.output)
     elif args.cmd == "extract-projector":
         extract_projector(args.model_path, args.output)
+    elif args.cmd == "merge-lora":
+        merge_lora_to_dense(args.model_path, args.model_base,
+                            args.save_model_path)
 
 
 if __name__ == "__main__":

@@ -52,3 +52,44 @@ def test_merge_projectors_union_later_wins(tmp_path):
                      str(tmp_path / "m.safetensors"))
     m = load_state(str(tmp_path / "m.safetensors"))
     np.testing.assert_allclose(m["x"], 1.0)
+
+
+def test_merge_lora_to_dense(tmp_path, monkeypatch):
+    """merge-lora: composed checkpoint -> dense standalone weights with
+    the default-route adapter deltas folded in."""
+    import jax
+    import jax.numpy as jnp
+    from modelcompose_tpu.compose.lifecycle import merge_lora_to_dense
+    import modelcompose_tpu.compose.lifecycle as lc
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.models.model import MultimodalLM
+
+    cfg = tiny_test_config(mm_vision_encoder="test:32x2", mm_hidden_size=32,
+                           mm_projector_type="mlp2x_gelu")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    p = model.params["layers"]["attn"]["q"]
+    p["lora_b"] = jax.random.normal(key, p["lora_b"].shape) * 0.1
+
+    def fake_loader(mp, mb, name, load_tokenizer_fn=None):
+        return None, model, {}, 2048
+
+    import modelcompose_tpu.models.loader as loader_mod
+    monkeypatch.setattr(loader_mod, "load_pretrained_model", fake_loader)
+    # lifecycle imports inside the function body -> patch the module ref
+    merge_lora_to_dense.__globals__  # noqa: B018 — function uses late import
+    monkeypatch.setattr(
+        "modelcompose_tpu.models.loader.load_pretrained_model", fake_loader)
+
+    out_dir = str(tmp_path / "dense")
+    merge_lora_to_dense("ckpt-multimodal", "base", out_dir)
+    dense = load_state(out_dir + "/model.safetensors")
+    # q_proj weight includes the default-adapter delta
+    table = cfg.routing_table()
+    w = np.asarray(model.params["layers"]["attn"]["q"]["w"][0])
+    la = np.asarray(p["lora_a"][0], np.float32)
+    lb = np.asarray(p["lora_b"][0], np.float32)
+    delta = np.einsum("a,air,aro->io", table[0], la, lb)
+    np.testing.assert_allclose(
+        dense["model.layers.0.self_attn.q_proj.weight"], (w + delta).T,
+        atol=1e-5)
