@@ -51,6 +51,10 @@ class TrainConfig:
     adam_eps: float = 1e-8
     max_grad_norm: Optional[float] = None
     tune_mm_mlp_adapter: bool = False  # stage-1: projector-only
+    # bf16 first moments halve optimizer memory — material here because
+    # DAMC adapters at r=128 x n_modalities are billions of parameters
+    # (the reason the reference needs ZeRO over 8 GPUs)
+    adam_mu_dtype: Optional[str] = None  # e.g. 'bfloat16'
 
     def proj_lr(self) -> float:
         return self.mm_projector_lr if self.mm_projector_lr is not None \
@@ -147,7 +151,8 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
 
     def adam():
         return optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2,
-                                   eps=tc.adam_eps)
+                                   eps=tc.adam_eps,
+                                   mu_dtype=tc.adam_mu_dtype)
 
     def group(lr):
         chain = [adam()]

@@ -48,8 +48,8 @@ def main():
         cfg = ClipVisionConfig()  # ViT-L/14-336, layer -2
         params = init_clip_vision(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
         pixels = jnp.zeros((B, 336, 336, 3), jnp.bfloat16)
-        fn = jax.jit(lambda: clip_vision_features(params, cfg, pixels))
-        dt = timeit(fn, args.iters)
+        jfn = jax.jit(lambda p, x: clip_vision_features(p, cfg, x))
+        dt = timeit(lambda: jfn(params, pixels), args.iters)
         results["clip_vit_l_336_images_per_sec"] = round(B / dt, 2)
 
     if "video" in args.towers:
@@ -60,8 +60,8 @@ def main():
         params = init_languagebind_video(cfg, jax.random.PRNGKey(0),
                                          jnp.bfloat16)
         vid = jnp.zeros((max(B // 4, 1), 8, 224, 224, 3), jnp.bfloat16)
-        fn = jax.jit(lambda: languagebind_video_features(params, cfg, vid))
-        dt = timeit(fn, args.iters)
+        jfn = jax.jit(lambda p, x: languagebind_video_features(p, cfg, x))
+        dt = timeit(lambda: jfn(params, vid), args.iters)
         results["languagebind_video_clips_per_sec"] = round(
             vid.shape[0] / dt, 2)
 
@@ -71,8 +71,8 @@ def main():
         cfg = BeatsConfig()  # BEATs iter3+, 512-frame window
         params = init_beats(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
         fbank = jnp.zeros((B, 512, 128), jnp.bfloat16)
-        fn = jax.jit(lambda: beats_extract_features(params, cfg, fbank)[0])
-        dt = timeit(fn, args.iters)
+        jfn = jax.jit(lambda p, x: beats_extract_features(p, cfg, x)[0])
+        dt = timeit(lambda: jfn(params, fbank), args.iters)
         results["beats_5s_clips_per_sec"] = round(B / dt, 2)
 
     if "point" in args.towers:
@@ -82,8 +82,8 @@ def main():
         cfg = PointBertConfig()  # 8192 x 6, 512 groups
         params = init_point_bert(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
         pts = jnp.zeros((max(B // 4, 1), 8192, 6), jnp.float32)
-        fn = jax.jit(lambda: point_bert_features(params, cfg, pts))
-        dt = timeit(fn, args.iters)
+        jfn = jax.jit(lambda p, x: point_bert_features(p, cfg, x))
+        dt = timeit(lambda: jfn(params, pts), args.iters)
         results["pointbert_8192pt_clouds_per_sec"] = round(
             pts.shape[0] / dt, 2)
 

@@ -185,3 +185,18 @@ def test_remat_training_matches_no_remat():
     np.testing.assert_allclose(
         np.asarray(g0["layers"]["attn"]["q"]["lora_b"]),
         np.asarray(g1["layers"]["attn"]["q"]["lora_b"]), atol=1e-6)
+
+
+def test_bf16_adam_moments(vision_model):
+    model = vision_model
+    tc = TrainConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0,
+                     adam_mu_dtype="bfloat16")
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    tx, _ = make_optimizer(model.cfg, tc, state.params)
+    step = make_train_step(model.cfg, tc, tx, attn_impl="xla", donate=False)
+    batch, layout = _make_batch(model)
+    state, loss = step(state, batch, layout)
+    assert np.isfinite(float(loss))
+    # mu stored in bf16 for trainable leaves
+    leaves = jax.tree.leaves(state.opt_state)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
