@@ -19,11 +19,13 @@ import numpy as np  # noqa: E402
 
 
 def timeit(fn, iters):
-    fn()  # compile
+    # warm BOTH compiles: the tower and the tiny sync reduction (remote
+    # compiles take seconds and must stay out of the timed window)
+    _ = float(fn().sum())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    _ = np.asarray(out).ravel()[:1]  # hard sync
+    _ = float(out.sum())  # sync via a tiny reduction fetch
     return (time.perf_counter() - t0) / iters
 
 
