@@ -80,6 +80,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--mm_projector_lr", type=float, default=None)
     p.add_argument("--mm_language_lr", type=float, default=None)
@@ -265,7 +266,26 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     params = shard_params(model.params, mesh)
     state = init_train_state(cfg, tc, params, model.projectors)
     tx, _ = make_optimizer(cfg, tc, state.params)
-    step_fn = make_train_step(cfg, tc, tx)
+    accum = max(args.gradient_accumulation_steps, 1)
+    if accum > 1:
+        from .trainer import make_grad_and_apply
+        grad_fn, apply_fn, accumulate = make_grad_and_apply(cfg, tc, tx)
+        micro_grads = []
+
+        def step_fn(state, batch, layout):
+            loss, grads = grad_fn(state.params, batch, layout)
+            micro_grads.append(grads)
+            if len(micro_grads) < accum:
+                return state, loss  # state unchanged mid-accumulation
+            import jax as _jax
+            total = micro_grads[0]
+            for g in micro_grads[1:]:
+                total = accumulate(total, g, 1.0)
+            total = _jax.tree.map(lambda x: x / accum, total)
+            micro_grads.clear()
+            return apply_fn(state, total), loss
+    else:
+        step_fn = make_train_step(cfg, tc, tx)
 
     resume = latest_checkpoint(args.output_dir)
     if resume:

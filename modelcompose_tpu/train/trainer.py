@@ -263,3 +263,36 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
                           step=state.step + 1), loss
 
     return train_step
+
+
+def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
+                        attn_impl: str = "auto"):
+    """Gradient accumulation (reference recipe:
+    --gradient_accumulation_steps, run_finetune_vision_damc.sh): a jitted
+    per-micro-batch grad fn and a jitted apply fn; the caller averages
+    grads over micro-batches between them."""
+    routing_table = jnp.asarray(cfg.routing_table())
+
+    @functools.partial(jax.jit, static_argnames=("feat_layout",))
+    def grad_fn(train_params, batch, feat_layout):
+        batch = dict(batch)
+        batch["feat_layout"] = list(feat_layout)
+
+        def loss_fn(p):
+            return multimodal_loss_from_features(p, cfg, routing_table,
+                                                 batch, attn_impl)
+
+        return jax.value_and_grad(loss_fn)(train_params)
+
+    @jax.jit
+    def apply_fn(state: TrainState, grads):
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, opt_state=new_opt,
+                          step=state.step + 1)
+
+    @jax.jit
+    def accumulate(acc, grads, weight):
+        return jax.tree.map(lambda a, g: a + g * weight, acc, grads)
+
+    return grad_fn, apply_fn, accumulate

@@ -200,3 +200,45 @@ def test_bf16_adam_moments(vision_model):
     # mu stored in bf16 for trainable leaves
     leaves = jax.tree.leaves(state.opt_state)
     assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
+
+
+def test_grad_accumulation_matches_big_batch(vision_model):
+    """accum=2 over two half-batches == one step over the full batch."""
+    from modelcompose_tpu.train.trainer import make_grad_and_apply
+    model = vision_model
+    tc = TrainConfig(learning_rate=1e-2, total_steps=10, warmup_ratio=0.0)
+    batch, layout = _make_batch(model, B=4)
+
+    def half(b, sl):
+        out = {}
+        for k, v in b.items():
+            if k == "encoder_features":
+                out[k] = {m: f[sl] for m, f in v.items()}
+            else:
+                out[k] = v[sl]
+        return out
+
+    # big-batch step
+    state_a = init_train_state(model.cfg, tc, model.params,
+                               model.projectors)
+    tx_a, _ = make_optimizer(model.cfg, tc, state_a.params)
+    step = make_train_step(model.cfg, tc, tx_a, attn_impl="xla",
+                           donate=False)
+    state_a, _ = step(state_a, batch, layout)
+
+    # two micro-batches accumulated
+    state_b = init_train_state(model.cfg, tc, model.params,
+                               model.projectors)
+    tx_b, _ = make_optimizer(model.cfg, tc, state_b.params)
+    grad_fn, apply_fn, accumulate = make_grad_and_apply(model.cfg, tc, tx_b,
+                                                        attn_impl="xla")
+    half_layout = (("vision", 2, layout[0][2]),)
+    _, g1 = grad_fn(state_b.params, half(batch, slice(0, 2)), half_layout)
+    _, g2 = grad_fn(state_b.params, half(batch, slice(2, 4)), half_layout)
+    total = accumulate(g1, g2, 1.0)
+    total = jax.tree.map(lambda x: x / 2, total)
+    state_b = apply_fn(state_b, total)
+
+    pa = np.asarray(state_a.params["projectors"]["vision"]["layers"][0]["w"])
+    pb = np.asarray(state_b.params["projectors"]["vision"]["layers"][0]["w"])
+    np.testing.assert_allclose(pa, pb, atol=1e-5)
