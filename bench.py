@@ -65,11 +65,19 @@ def main():
     # synchronize through the axon relay.
     rng = jax.random.PRNGKey(0)
 
+    decode_params, decode_table = params, table
+    if use_int8:
+        # int8 weights leave HBM headroom for the folded default-route
+        # adapter pair (79.5 tok/s measured vs 66.6 unfolded)
+        from modelcompose_tpu.ops.routed_lora import fold_decode_adapters
+        decode_params, decode_table = fold_decode_adapters(
+            params, cfg.routing_table()[0])
+
     def run():
         logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
-                                 lengths, cache_len, "auto")
-        tokens = _decode_loop(params, cfg, cache, logits, lengths, table,
-                              rng, steps, -1, 0.0)
+                                 lengths, cache_len, "auto", use_int8)
+        tokens = _decode_loop(decode_params, cfg, cache, logits, lengths,
+                              decode_table, rng, steps, -1, 0.0)
         return np.asarray(tokens)  # D2H fetch = hard sync
 
     run()  # compile warmup
