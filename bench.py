@@ -25,10 +25,10 @@ def main():
     from modelcompose_tpu.core.generate import _decode_loop, _prefill
 
     on_tpu = jax.default_backend() == "tpu"
-    # BENCH_INT8=1 benches the weight-only int8 decode path: measured
-    # 66.6 tok/s vs 42.4 bf16 on v5e (1.57x), but its remote compile takes
-    # ~35 min vs ~11, so bf16 is the default for bounded driver runs.
-    use_int8 = os.environ.get("BENCH_INT8") == "1"
+    # Default: the production int8 decode path (int8 weights + folded
+    # default-route adapters + int8 KV cache) — 79.7 tok/s vs 42.4 bf16 on
+    # one chip.  BENCH_BF16=1 measures the plain bf16 path.
+    use_int8 = os.environ.get("BENCH_BF16") != "1"
     if on_tpu:
         # Batch 1 matches the reference eval protocol (greedy, batch 1,
         # use_cache — BASELINE.md); it also bounds the KV cache so the 7B
