@@ -5,7 +5,13 @@ model_multimodal_qa_loader.py:93-102).  Prints ONE JSON line.
 
 vs_baseline compares against a reference-GPU estimate of HF eager decode
 for llama-7B fp16 on A100 (~30 tok/s single-stream); the repo itself
-publishes no numbers (BASELINE.md).
+publishes no numbers (BASELINE.md documents the protocol and the estimate).
+
+The measured window covers one prefill (256 ctx) + 128 decode steps in a
+single compiled scan, synced by a device-to-host fetch (block_until_ready
+does not synchronize through the axon relay).  Decode runs with the
+default-route adapter mix folded densely into W (ops/routed_lora.fold_dense)
+— the production decode configuration.
 """
 
 import json
@@ -17,17 +23,59 @@ import numpy as np
 REFERENCE_GPU_TOKS_PER_SEC = 30.0  # single-stream HF A100 estimate
 
 
+def kernel_smoke():
+    """On-TPU compiled Pallas flash-attention check (fwd + bwd vs XLA at
+    bf16) so compiled-kernel regressions surface in BENCH_r*.json runs;
+    the pytest suite only exercises interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from modelcompose_tpu.ops.attention import attention
+
+    if jax.default_backend() != "tpu":
+        return "skipped (not on tpu)"
+    B, L, H, D = 1, 512, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, L, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, L, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, L, H, D), jnp.bfloat16)
+    seg = jnp.ones((B, L), jnp.int32)
+
+    def loss(impl):
+        def f(q, k, v):
+            o = attention(q, k, v, causal=True, q_segment_ids=seg,
+                          kv_segment_ids=seg, impl=impl)
+            return (o.astype(jnp.float32) ** 2).mean()
+        return f
+
+    out_p = jax.jit(jax.value_and_grad(loss("pallas"), argnums=(0, 1, 2)))(
+        q, k, v)
+    out_x = jax.jit(jax.value_and_grad(loss("xla"), argnums=(0, 1, 2)))(
+        q, k, v)
+    flat_p = [np.asarray(x, np.float32)
+              for x in jax.tree.leaves(out_p)]
+    flat_x = [np.asarray(x, np.float32)
+              for x in jax.tree.leaves(out_x)]
+    for a, b in zip(flat_p, flat_x):
+        denom = max(float(np.abs(b).max()), 1e-6)
+        rel = float(np.abs(a - b).max()) / denom
+        if rel > 2e-2:  # bf16 inputs; kernel accumulates fp32
+            return f"FAIL rel={rel:.3g}"
+    return "ok"
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg, _zeros_params
     from modelcompose_tpu.core.generate import _decode_loop, _prefill
+    from modelcompose_tpu.ops.routed_lora import fold_dense
 
     on_tpu = jax.default_backend() == "tpu"
-    # Default: the production int8 decode path (int8 weights + folded
-    # default-route adapters + int8 KV cache) — 79.7 tok/s vs 42.4 bf16 on
-    # one chip.  BENCH_BF16=1 measures the plain bf16 path.
+    # Default: the production int8 decode path (int8 weights + dense-folded
+    # default-route adapters + int8 KV cache).  BENCH_BF16=1 measures the
+    # bf16-weight path (same dense fold).
     use_int8 = os.environ.get("BENCH_BF16") != "1"
     if on_tpu:
         # Batch 1 matches the reference eval protocol (greedy, batch 1,
@@ -52,10 +100,17 @@ def main():
         from modelcompose_tpu.core.llama import init_params
         params = init_params(cfg, jax.random.PRNGKey(0))
 
+    # Dense-fold the decode-time default adapter mix into W (zero extra
+    # residency; the rebased table keeps prefill routing identical) and decode with
+    # NO adapter branch: decode traffic = base weights + KV only.
+    table = jnp.asarray(cfg.routing_table())
+    # Donate so old/new weight buffers alias — without it the fold holds
+    # both param trees plus f32 transients and exceeds HBM at 7B.
+    params, table = jax.jit(fold_dense, donate_argnums=(0,))(params, table)
+
     dt = jnp.dtype(cfg.dtype)
     embeds = jnp.zeros((B, L, cfg.hidden_size), dt)
     route_ids = jnp.zeros((B, L), jnp.int32)
-    table = jnp.asarray(cfg.routing_table())
     seg = jnp.ones((B, L), jnp.int32)
     lengths = jnp.full((B,), L, jnp.int32)
 
@@ -65,25 +120,20 @@ def main():
     # synchronize through the axon relay.
     rng = jax.random.PRNGKey(0)
 
-    decode_params, decode_table = params, table
-    if use_int8:
-        # int8 weights leave HBM headroom for the folded default-route
-        # adapter pair (79.5 tok/s measured vs 66.6 unfolded)
-        from modelcompose_tpu.ops.routed_lora import fold_decode_adapters
-        decode_params, decode_table = fold_decode_adapters(
-            params, cfg.routing_table()[0])
-
     def run():
         logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
                                  lengths, cache_len, "auto", use_int8)
-        tokens = _decode_loop(decode_params, cfg, cache, logits, lengths,
-                              decode_table, rng, steps, -1, 0.0)
+        tokens, _ = _decode_loop(params, cfg, cache, logits, lengths,
+                                 None, rng, steps, -1, 0.0)
         return np.asarray(tokens)  # D2H fetch = hard sync
 
     run()  # compile warmup
     t_total0 = time.perf_counter()
     run()
     t_total = time.perf_counter() - t_total0  # prefill + decode, one sync
+
+    kernel = kernel_smoke() if os.environ.get("BENCH_SKIP_KERNEL") != "1" \
+        else "skipped"
 
     # prefill (one forward over L tokens) costs about one decode step at
     # batch 1; fold it in rather than compiling a second timing program
@@ -95,6 +145,7 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_sec / REFERENCE_GPU_TOKS_PER_SEC, 2)
         if on_tpu else None,
+        "kernel_check": kernel,
     }
     print(json.dumps(result))
 

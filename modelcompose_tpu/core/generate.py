@@ -46,7 +46,12 @@ def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
     """Device-side greedy/sampled decode: the whole token loop runs inside
     one compiled program (lax.scan over steps), so no host round-trip per
     token — the TPU-native replacement for HF generate's python loop.
-    Returns [B, max_steps] token ids (positions after EOS hold eos_id)."""
+
+    Returns ([B, max_steps] token ids, final cache).  The cache is both
+    donated AND returned so XLA can alias the input buffer to the output
+    (donation with no matching output is unusable and leaves a second
+    multi-GB cache copy resident in HBM); callers discard the returned
+    cache."""
     B = first_logits.shape[0]
     eos = jnp.asarray(eos_id, jnp.int32)
 
@@ -71,10 +76,10 @@ def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
         return (cache, logits[:, 0], kv_lens + 1, new_done, key), tokens
 
     done0 = jnp.zeros((B,), bool)
-    (_, _, _, _, _), tokens = jax.lax.scan(
+    (cache, _, _, _, _), tokens = jax.lax.scan(
         step, (cache, first_logits, kv_lens, done0, rng), None,
         length=max_steps)
-    return tokens.T  # [B, max_steps]
+    return tokens.T, cache  # [B, max_steps]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
@@ -96,7 +101,7 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
              max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
              temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
              attn_impl: str = "auto", device_loop: bool = True,
-             fold_decode: bool = False, kv_quant: bool = False):
+             fold_decode=False, kv_quant: bool = False):
     """Generate token ids.
 
     Args:
@@ -104,6 +109,11 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
       lengths: [B] true prompt lengths.
       route_ids: [B, L] route classes for the prompt (None = all default).
       segment_ids: [B, L]; defaults to positions < lengths.
+      fold_decode: False; True/'concat' (compact default-route adapters
+        into one low-rank pair, extra HBM residency); or 'dense' (fold the
+        default mix into W and rebase the routing table — prefill stays
+        identical, decode skips the adapter branch entirely, zero extra
+        residency; see ops/routed_lora.fold_dense).
 
     Returns:
       list of per-sample python lists of generated token ids (EOS excluded).
@@ -119,28 +129,34 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
         routing_table = jnp.asarray(routing_table)
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
 
+    decode_params, decode_table = params, routing_table
+    if fold_decode == "dense" and routing_table is not None:
+        # Fold the static default mix into W once; the rebased table keeps
+        # prefill identical and decode drops the adapter branch entirely.
+        from ..ops.routed_lora import fold_dense
+        params, routing_table = fold_dense(params, routing_table)
+        decode_params, decode_table = params, None
+
     logits, cache = _prefill(params, cfg, inputs_embeds, route_ids,
                              routing_table, segment_ids, lengths, cache_len,
                              attn_impl, kv_quant)
 
     if device_loop:
         # One compiled program for the whole decode; a single host sync.
-        # fold_decode compacts the static default-route adapters into one
-        # low-rank pair so the step stops streaming inactive adapter rows
-        # from HBM (~2.5 GB/step at 7B r=128) — but the folded copies stay
-        # resident NEXT TO the full params, which can exceed HBM at 7B;
-        # opt-in for memory headroom (ops/routed_lora.fold_decode_adapters).
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        decode_params, decode_table = params, routing_table
-        if fold_decode and routing_table is not None:
+        if fold_decode in (True, "concat") and routing_table is not None:
+            # Compact the default-route adapters into one low-rank pair so
+            # the step stops streaming inactive adapter rows from HBM —
+            # but the folded copies stay resident NEXT TO the full params,
+            # which can exceed HBM at 7B; 'dense' is the zero-residency fold.
             from ..ops.routed_lora import fold_decode_adapters
             decode_params, decode_table = fold_decode_adapters(
                 params, np.asarray(routing_table)[0])
-        tokens = _decode_loop(decode_params, cfg, cache, logits, lengths,
-                              decode_table, rng, max_new_tokens,
-                              -1 if eos is None else int(eos),
-                              float(temperature))
+        tokens, _ = _decode_loop(decode_params, cfg, cache, logits, lengths,
+                                 decode_table, rng, max_new_tokens,
+                                 -1 if eos is None else int(eos),
+                                 float(temperature))
         host = np.asarray(tokens)
         outputs = []
         for b in range(B):

@@ -111,6 +111,55 @@ def fold_decode_adapters(params, default_route):
     return out, table
 
 
+def fold_dense(params, routing_table):
+    """Fold the default-route adapter mix densely into every base weight
+    and REBASE the routing table so prefill stays numerically identical.
+
+    With c = routing_table[0] (the decode-time 'default' class row,
+    reference: multimodal_llama.py:436-438):
+
+        W'      = W + sum_a c_a * A_a @ B_a
+        table'  = table - c        (so row 0 becomes all-zero)
+
+    A token with route row r then computes
+        x @ W' + sum_a (r_a - c_a) x A_a B_a
+      = x @ W  + sum_a r_a x A_a B_a            (unchanged),
+    while decode (route row 0 == 0) can skip the adapter branch entirely
+    by passing ``routing_table=None`` — removing ALL per-step adapter HBM
+    traffic with zero extra residency (the fold replaces W in place,
+    unlike fold_decode_adapters' concatenated copy).
+
+    int8-quantized base weights are dequantized, folded, and requantized
+    (per-output-channel scales recomputed).
+
+    Returns: (params', routing_table' [n_classes, n_adapters]).
+    """
+    from .quant import is_quantized, quantize_int8
+
+    table = jnp.asarray(routing_table, jnp.float32)
+    c = table[0]
+
+    def fold_linear(p):
+        delta = jnp.einsum("a,nair,naro->nio", c,
+                           p["lora_a"].astype(jnp.float32),
+                           p["lora_b"].astype(jnp.float32))
+        w = p["w"]
+        if is_quantized(w):
+            wf = w["q"].astype(jnp.float32) * w["scale"]
+            new_w = quantize_int8(wf + delta, axis=-2)
+        else:
+            new_w = (w.astype(jnp.float32) + delta).astype(w.dtype)
+        return {"w": new_w, "lora_a": p["lora_a"], "lora_b": p["lora_b"]}
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for grp in ("attn", "mlp"):
+        layers[grp] = {name: fold_linear(p)
+                       for name, p in params["layers"][grp].items()}
+    out["layers"] = layers
+    return out, table - c[None, :]
+
+
 def fold_default_adapter(w, lora_a, lora_b, default_route):
     """Fold the decode-time ('default' class) adapter mix densely into w.
 

@@ -187,3 +187,98 @@ def test_fold_decode_adapters_equivalence():
                                 p_fold["lora_b"][0], route_fold)
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_full),
                                atol=1e-5)
+
+
+def test_fold_dense_prefill_identical_decode_equal():
+    """fold_dense: (a) prefill with the rebased table == original routed
+    forward on every route class; (b) decode (route=None on folded params)
+    == original default-route computation; (c) int8 base weights refold
+    within quantization tolerance."""
+    import jax
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.core.llama import init_params
+    from modelcompose_tpu.ops.quant import quantize_backbone
+    from modelcompose_tpu.ops.routed_lora import fold_dense
+
+    cfg = tiny_test_config(
+        mm_vision_encoder="x", mm_hidden_size=8,
+        mm_audio_encoder="y", mm_audio_hidden_size=8,
+        reset_scaling_weights="default-vision=0.5,default-audio=0.25")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for grp in ("attn", "mlp"):
+        for name in params["layers"][grp]:
+            key, sub = jax.random.split(key)
+            p = params["layers"][grp][name]
+            p["lora_b"] = jax.random.normal(sub, p["lora_b"].shape) * 0.1
+
+    table = jnp.asarray(cfg.routing_table())
+    folded, ftable = fold_dense(params, table)
+    assert np.allclose(np.asarray(ftable[0]), 0.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, cfg.hidden_size))
+    p_full = params["layers"]["attn"]["q"]
+    p_fold = folded["layers"]["attn"]["q"]
+
+    # (a) every route class reproduces the original routed output
+    for cls in range(table.shape[0]):
+        route = jnp.broadcast_to(table[cls], (2, 3, table.shape[1]))
+        route_f = jnp.broadcast_to(ftable[cls], (2, 3, table.shape[1]))
+        y = routed_lora_matmul(x, p_full["w"][0], p_full["lora_a"][0],
+                               p_full["lora_b"][0], route)
+        y_f = routed_lora_matmul(x, p_fold["w"][0], p_fold["lora_a"][0],
+                                 p_fold["lora_b"][0], route_f)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y),
+                                   atol=1e-5)
+
+    # (b) decode: adapter branch skipped entirely (route=None)
+    route0 = jnp.broadcast_to(table[0], (2, 3, table.shape[1]))
+    y_def = routed_lora_matmul(x, p_full["w"][0], p_full["lora_a"][0],
+                               p_full["lora_b"][0], route0)
+    y_dec = routed_lora_matmul(x, p_fold["w"][0], p_fold["lora_a"][0],
+                               p_fold["lora_b"][0], None)
+    np.testing.assert_allclose(np.asarray(y_dec), np.asarray(y_def),
+                               atol=1e-5)
+
+    # (c) int8 base: refolded quantized weight stays near the exact fold
+    qparams = quantize_backbone(params, quantize_lm_head=False)
+    qfolded, _ = fold_dense(qparams, table)
+    wq = qfolded["layers"]["attn"]["q"]["w"]
+    w_deq = np.asarray(wq["q"], np.float32) * np.asarray(wq["scale"])
+    w_exact = np.asarray(p_fold["w"])
+    err = np.abs(w_deq - w_exact).max()
+    step = np.asarray(wq["scale"]).max()
+    assert err <= step, (err, step)  # within one quantization step
+
+
+def test_generate_fold_dense_matches_unfolded():
+    """End-to-end: generate(fold_decode='dense') emits the same greedy
+    tokens as the unfolded path."""
+    import jax
+    from modelcompose_tpu.config import ROUTE_CLASS_INDEX, tiny_test_config
+    from modelcompose_tpu.core.generate import generate
+    from modelcompose_tpu.core.llama import init_params
+
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                           mm_audio_encoder="y", mm_audio_hidden_size=8,
+                           merge_default_weights="mean")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for grp in ("attn", "mlp"):
+        for name in params["layers"][grp]:
+            key, sub = jax.random.split(key)
+            p = params["layers"][grp][name]
+            p["lora_b"] = jax.random.normal(sub, p["lora_b"].shape) * 0.1
+
+    B, L = 2, 8
+    embeds = jax.random.normal(jax.random.PRNGKey(2),
+                               (B, L, cfg.hidden_size)) * 0.1
+    route_ids = np.zeros((B, L), np.int32)
+    route_ids[:, 2:4] = ROUTE_CLASS_INDEX["vision"]
+    lengths = np.array([L, L - 2], np.int32)
+    kw = dict(lengths=lengths, route_ids=jnp.asarray(route_ids),
+              routing_table=cfg.routing_table(), max_new_tokens=6,
+              eos_token_id=None)
+    t_plain = generate(params, cfg, embeds, **kw)
+    t_fold = generate(params, cfg, embeds, fold_decode="dense", **kw)
+    assert t_plain == t_fold
