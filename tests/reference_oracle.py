@@ -81,7 +81,10 @@ def _shim_old_peft():
         def __init__(self, adapter_name, in_features, out_features, r=0,
                      lora_alpha=1, lora_dropout=0.0, fan_in_fan_out=False,
                      is_target_conv_1d_layer=False, **kwargs):
-            nn.Linear.__init__(self, in_features, out_features, bias=True)
+            # old peft forwarded nn.Linear kwargs (the reference model
+            # passes bias=False)
+            nn.Linear.__init__(self, in_features, out_features,
+                               bias=kwargs.pop("bias", True))
             self.fan_in_fan_out = fan_in_fan_out
             self.lora_A = nn.ModuleDict()
             self.lora_B = nn.ModuleDict()
@@ -182,3 +185,122 @@ def _shim_transformers():
                 setattr(mu, name, lambda *a, **k: None)
     except ImportError:
         pass
+
+
+def load_reference_llama():
+    """Return the reference's full-model module
+    (``modelcompose.model.language_model.multimodal_llama``) runnable under
+    the installed (much newer) transformers.
+
+    The reference was written against transformers 4.31 semantics via
+    ``from ...modeling_llama import *``; names whose semantics changed
+    (rotary embedding signature, apply_rotary_pos_emb position gather, the
+    removed ``_prepare_decoder_attention_mask``) are injected into the
+    *reference module's namespace only* — the real modeling_llama is left
+    untouched so HF-parity tests in the same process stay valid."""
+    load_reference_arch()  # install finders + shared shims
+
+    import math as _math
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    if "transformers.deepspeed" not in sys.modules:
+        ds = types.ModuleType("transformers.deepspeed")
+        ds.is_deepspeed_zero3_enabled = lambda: False
+        sys.modules["transformers.deepspeed"] = ds
+        import transformers
+        transformers.deepspeed = ds
+
+    import modelcompose.model.language_model.multimodal_llama as mm
+
+    class OldRotary(nn.Module):
+        """transformers-4.31 LlamaRotaryEmbedding semantics: built from
+        (dim, max_position_embeddings, base); forward(x, seq_len) returns
+        cos/sin [1, 1, seq, dim]."""
+
+        def __init__(self, dim=None, max_position_embeddings=2048,
+                     base=10000, device=None, config=None):
+            super().__init__()
+            if config is not None and dim is None:
+                dim = config.hidden_size // config.num_attention_heads
+            self.inv_freq = 1.0 / (base ** (
+                torch.arange(0, dim, 2, dtype=torch.float32) / dim))
+
+        def forward(self, x, seq_len=None):
+            t = torch.arange(seq_len, dtype=torch.float32)
+            freqs = torch.einsum("i,j->ij", t, self.inv_freq)
+            emb = torch.cat((freqs, freqs), dim=-1)
+            return (emb.cos()[None, None].to(x.dtype),
+                    emb.sin()[None, None].to(x.dtype))
+
+    def _rotate_half(x):
+        x1 = x[..., : x.shape[-1] // 2]
+        x2 = x[..., x.shape[-1] // 2:]
+        return torch.cat((-x2, x1), dim=-1)
+
+    def old_apply_rotary_pos_emb(q, k, cos, sin, position_ids):
+        cos = cos.squeeze(1).squeeze(0)[position_ids].unsqueeze(1)
+        sin = sin.squeeze(1).squeeze(0)[position_ids].unsqueeze(1)
+        return (q * cos) + (_rotate_half(q) * sin), \
+               (k * cos) + (_rotate_half(k) * sin)
+
+    def _old_repeat_kv(hidden_states, n_rep):
+        if n_rep == 1:
+            return hidden_states
+        b, h, s, d = hidden_states.shape
+        return hidden_states[:, :, None].expand(
+            b, h, n_rep, s, d).reshape(b, h * n_rep, s, d)
+
+    def _prepare_decoder_attention_mask(self, attention_mask, input_shape,
+                                        inputs_embeds, past_kv_length):
+        """4.31 LlamaModel mask builder: additive causal mask + key-padding
+        expansion, large-negative fill."""
+        dtype = inputs_embeds.dtype
+        bsz, tgt_len = input_shape
+        min_val = torch.finfo(dtype).min
+        combined = None
+        if tgt_len > 1:
+            mask = torch.full((tgt_len, tgt_len), min_val, dtype=dtype)
+            mask_cond = torch.arange(tgt_len)
+            mask.masked_fill_(
+                mask_cond < (mask_cond + 1).view(tgt_len, 1), 0.0)
+            if past_kv_length > 0:
+                mask = torch.cat(
+                    [torch.zeros(tgt_len, past_kv_length, dtype=dtype),
+                     mask], dim=-1)
+            combined = mask[None, None].expand(
+                bsz, 1, tgt_len, tgt_len + past_kv_length)
+        if attention_mask is not None:
+            src_len = attention_mask.shape[-1]
+            expanded = attention_mask[:, None, None, :].expand(
+                bsz, 1, tgt_len, src_len).to(dtype)
+            inverted = (1.0 - expanded).masked_fill(
+                (1.0 - expanded).bool(), min_val)
+            combined = inverted if combined is None else inverted + combined
+        return combined
+
+    mm.math = _math
+    mm.LlamaRotaryEmbedding = OldRotary
+    mm.apply_rotary_pos_emb = old_apply_rotary_pos_emb
+    if not hasattr(mm, "repeat_kv"):
+        try:
+            from transformers.models.llama.modeling_llama import repeat_kv
+            mm.repeat_kv = repeat_kv
+        except ImportError:
+            mm.repeat_kv = _old_repeat_kv
+    if not hasattr(mm, "LlamaRMSNorm"):
+        from transformers.models.llama.modeling_llama import LlamaRMSNorm
+        mm.LlamaRMSNorm = LlamaRMSNorm
+    if not hasattr(mm, "ACT2FN"):
+        from transformers.activations import ACT2FN
+        mm.ACT2FN = ACT2FN
+    if not hasattr(mm, "logger"):
+        import logging
+        mm.logger = logging.getLogger("reference_oracle")
+        if not hasattr(mm.logger, "warning_once"):
+            mm.logger.warning_once = mm.logger.warning
+    mm.MultimodalLlamaModel._prepare_decoder_attention_mask = \
+        _prepare_decoder_attention_mask
+    return mm

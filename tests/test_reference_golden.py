@@ -238,7 +238,8 @@ def test_routed_lora_matches_reference_local_lora_linear(ref):
         ["default", "audio", "vision"], d_in, d_out, r=r, lora_alpha=8,
         lora_dropout=0.0, reset_scaling_weights=reset)
     with torch.no_grad():
-        lin.bias.zero_()
+        if lin.bias is not None:
+            lin.bias.zero_()
         for name in lin.lora_B:  # make zero-init B non-trivial
             lin.lora_B[name].weight.add_(
                 torch.randn_like(lin.lora_B[name].weight) * 0.1)
@@ -286,7 +287,8 @@ def test_routed_lora_matches_reference_no_merge(ref):
     lin = ref_ml.LocalLoraLinear(["default", "vision"], d_in, d_out, r=r,
                                  lora_alpha=8, lora_dropout=0.0)
     with torch.no_grad():
-        lin.bias.zero_()
+        if lin.bias is not None:
+            lin.bias.zero_()
         for name in lin.lora_B:
             lin.lora_B[name].weight.add_(
                 torch.randn_like(lin.lora_B[name].weight) * 0.1)
