@@ -172,8 +172,10 @@ def main():
     parser.add_argument("filepaths", nargs="+")
     parser.add_argument("-o", "--output", default="merged_checkpoint")
     parser.add_argument("--strategy", default="sum")
-    parser.add_argument("-K", default=20, type=float,
-                        help="K for ties-merging")
+    parser.add_argument("-K", default=20, type=int,
+                        help="K for ties-merging (int, as in the reference "
+                             "CLI — keeps the 'dis-mean-20' provenance "
+                             "stamp format in merge_info.txt)")
     args = parser.parse_args()
     merge_checkpoints(args.filepaths, args.output, args.strategy, args.K)
 

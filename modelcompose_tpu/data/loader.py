@@ -58,6 +58,7 @@ class PrefetchLoader:
         results = {}
         results_lock = threading.Lock()
         next_emit = [0]
+        stop = [False]  # set when the consumer exits early (close/exception)
         emit_cv = threading.Condition()
 
         for bi, idxs in enumerate(batches):
@@ -78,7 +79,10 @@ class PrefetchLoader:
                 # always proceed — no deadlock when later batches finish
                 # first.
                 with emit_cv:
-                    emit_cv.wait_for(lambda: bi < next_emit[0] + window)
+                    emit_cv.wait_for(
+                        lambda: stop[0] or bi < next_emit[0] + window)
+                    if stop[0]:
+                        return
                 try:
                     batch = self.collate([self.dataset[i] for i in idxs])
                 except Exception as e:  # surfaced on the consumer side
@@ -96,22 +100,45 @@ class PrefetchLoader:
         def emitter():
             for bi in range(len(batches)):
                 with emit_cv:
-                    emit_cv.wait_for(lambda: bi in results)
+                    emit_cv.wait_for(lambda: stop[0] or bi in results)
+                    if stop[0]:
+                        return
                     with results_lock:
                         batch = results.pop(bi)
                     next_emit[0] = bi + 1
                     emit_cv.notify_all()  # open the look-ahead window
-                out_q.put(batch)
+                # Poll the stop flag so a departed consumer (full out_q)
+                # cannot park this thread forever holding batch data.
+                while not stop[0]:
+                    try:
+                        out_q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
             out_q.put(_SENTINEL)
 
-        threading.Thread(target=emitter, daemon=True).start()
+        emit_thread = threading.Thread(target=emitter, daemon=True)
+        emit_thread.start()
 
-        while True:
-            item = out_q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        for t in threads:
-            t.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # Early exit (consumer break / exception / generator close):
+            # release parked workers and the emitter, drop queued batches.
+            with emit_cv:
+                stop[0] = True
+                emit_cv.notify_all()
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            for t in threads:
+                t.join(timeout=5.0)
+            emit_thread.join(timeout=5.0)

@@ -140,8 +140,11 @@ def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
 
-    blk_q = min(blk_q, max(Lq, 128))
-    blk_k = min(blk_k, max(S, 128))
+    # Clamp block size toward the true length but keep it a multiple of 128
+    # — odd lengths (e.g. Lq=150) would otherwise violate the (8k, 128)
+    # TPU tiling constraint on the compiled kernel.
+    blk_q = min(blk_q, max(-(-Lq // 128) * 128, 128))
+    blk_k = min(blk_k, max(-(-S // 128) * 128, 128))
 
     q = _pad_to(_pad_to(q, 2, blk_q), 3, LANES)
     k = _pad_to(_pad_to(k, 2, blk_k), 3, LANES)
@@ -309,8 +312,11 @@ def _flash_attention_backward(q, k, v, o, lse, do, q_segment_ids,
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
 
-    blk_q = min(blk_q, max(Lq, 128))
-    blk_k = min(blk_k, max(S, 128))
+    # Clamp block size toward the true length but keep it a multiple of 128
+    # — odd lengths (e.g. Lq=150) would otherwise violate the (8k, 128)
+    # TPU tiling constraint on the compiled kernel.
+    blk_q = min(blk_q, max(-(-Lq // 128) * 128, 128))
+    blk_k = min(blk_k, max(-(-S // 128) * 128, 128))
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
 

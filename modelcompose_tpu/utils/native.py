@@ -22,10 +22,22 @@ _TRIED = False
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for cand in (os.path.join(here, "native", "libmcdata.so"),
-                 os.environ.get("MCDATA_LIB", "")):
+    native_dir = os.path.join(here, "native")
+    so = os.path.join(native_dir, "libmcdata.so")
+    for cand in (so, os.environ.get("MCDATA_LIB", "")):
         if cand and os.path.exists(cand):
             return cand
+    # The binary is not checked in (unreviewable blob); build it from
+    # source on first use.  Failure falls through to the numpy paths.
+    if os.path.exists(os.path.join(native_dir, "Makefile")):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", native_dir, "-s"], timeout=120,
+                           capture_output=True, check=True)
+        except Exception:
+            return None
+        if os.path.exists(so):
+            return so
     return None
 
 

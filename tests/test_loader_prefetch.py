@@ -71,3 +71,22 @@ def test_workers_overlap_decode():
     list(PrefetchLoader(ds, order, 4, collate, num_workers=0))
     serial_time = time.perf_counter() - t0
     assert parallel_time < serial_time * 0.7
+
+
+def test_early_exit_releases_threads():
+    """Breaking out of iteration must not leak parked workers/emitter
+    threads or deadlock (generator close path)."""
+    import threading
+    before = threading.active_count()
+    ds = SlowDataset(64, delay=0.001)
+    loader = PrefetchLoader(ds, list(range(64)), 4, collate,
+                            num_workers=4, prefetch=2)
+    for epoch in range(3):  # repeated partial epochs
+        for i, _ in enumerate(loader):
+            if i == 1:
+                break  # generator close -> finally shuts the pool down
+    deadline = time.perf_counter() + 5.0
+    while threading.active_count() > before and time.perf_counter() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"leaked {threading.active_count() - before} threads")
