@@ -27,8 +27,25 @@ from .towers import build_modal_encoders
 
 def load_hf_llama_dir(model_dir: str) -> Dict[str, np.ndarray]:
     """Load a flat HF Llama state dict from sharded safetensors / torch
-    bins."""
+    bins, honoring the HF shard index when present (the layout released
+    Vicuna checkpoints use: ``pytorch_model-0000x-of-0000y.bin`` +
+    ``pytorch_model.bin.index.json`` with a ``weight_map``; reference load
+    path: model/builder.py:140-148 via HF from_pretrained)."""
     state: Dict[str, np.ndarray] = {}
+    for index_name in ("model.safetensors.index.json",
+                       "pytorch_model.bin.index.json"):
+        index_path = os.path.join(model_dir, index_name)
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                weight_map = json.load(f)["weight_map"]
+            for shard in sorted(set(weight_map.values())):
+                state.update(load_state(os.path.join(model_dir, shard)))
+            missing = set(weight_map) - set(state)
+            if missing:
+                raise KeyError(
+                    f"shard index {index_name} lists keys absent from its "
+                    f"shards: {sorted(missing)[:3]}...")
+            return state
     st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if st_files:
         for p in st_files:
