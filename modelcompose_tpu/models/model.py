@@ -139,6 +139,70 @@ class MultimodalLM:
             temperature=temperature, rng=rng, attn_impl=attn_impl)
 
     # ------------------------------------------------------------------
+    def generate_stream(self, input_ids: Sequence[np.ndarray],
+                        modal_inputs: Dict[str, Any], *,
+                        max_new_tokens: Sequence[int],
+                        temperatures: Sequence[float],
+                        emit, rng_seed: Optional[int] = None,
+                        bucket_len: Optional[int] = None) -> None:
+        """Batched streaming decode: one packed prefill, then a host-side
+        decode loop that emits each sample's token THE STEP IT DECODES —
+        the role the reference's TextIteratorStreamer thread plays
+        (reference: serve/model_worker.py:122-192), batched.
+
+        emit(i, event) receives ("token", id) then ("done", None) per
+        sample i; per-sample temperature/max_new_tokens/EOS are honored
+        (sampling happens host-side so rows can differ)."""
+        from ..core.generate import _decode_step, _prefill
+
+        B = len(input_ids)
+        embeds, plan = self.prepare_batch(input_ids, modal_inputs,
+                                          bucket_len=bucket_len)
+        table = jnp.asarray(self.routing_table)
+        route_ids = jnp.asarray(plan.route_ids) \
+            if self.cfg.routing_active() else None
+        lengths = jnp.asarray(plan.lengths, jnp.int32)
+        cache_len = int(embeds.shape[1]) + max(max_new_tokens)
+        logits, cache = _prefill(
+            self.params, self.cfg, embeds, route_ids, table,
+            jnp.asarray(plan.segment_ids), lengths, cache_len, "auto",
+            False)
+        kv_lens = lengths
+        eos = self.cfg.eos_token_id
+        rng = np.random.default_rng(rng_seed)
+        done = [False] * B
+        for step in range(max(max_new_tokens)):
+            logits_host = np.asarray(logits, np.float32)  # [B, V] sync
+            tokens = np.zeros(B, np.int32)
+            for b in range(B):
+                if done[b]:
+                    tokens[b] = eos if eos is not None else 0
+                    continue
+                row = logits_host[b]
+                if temperatures[b] > 1e-4:
+                    p = np.exp((row - row.max()) / temperatures[b])
+                    tok = int(rng.choice(len(row), p=p / p.sum()))
+                else:
+                    tok = int(row.argmax())
+                tokens[b] = tok
+                if eos is not None and tok == eos:
+                    done[b] = True
+                    emit(b, ("done", None))
+                else:
+                    emit(b, ("token", tok))
+                    if step == max_new_tokens[b] - 1:
+                        done[b] = True
+                        emit(b, ("done", None))
+            if all(done):
+                return
+            logits, cache, kv_lens = _decode_step(
+                self.params, self.cfg, cache, jnp.asarray(tokens), kv_lens,
+                table)
+        for b in range(B):
+            if not done[b]:
+                emit(b, ("done", None))
+
+    # ------------------------------------------------------------------
     def loss(self, input_ids: Sequence[np.ndarray],
              labels: Sequence[np.ndarray],
              modal_inputs: Dict[str, Any],

@@ -40,15 +40,21 @@ GB = 1 << 30
 
 
 class BatchingEngine:
-    """Micro-batching: concurrent requests within a small window run as ONE
-    packed generation (static-shape packing makes mixed prompts compile
-    once).  The reference worker serializes requests behind a semaphore
-    (reference: model_worker.py:230-243); here they share the chip.
+    """Micro-batching with per-token streaming: concurrent requests within
+    a small window run as ONE packed generation (static-shape packing makes
+    mixed prompts compile once) and every request receives its tokens AS
+    THEY DECODE — the reference's TextIteratorStreamer semantics (reference:
+    model_worker.py:122-192) without a streamer thread per request.
+    The reference worker serializes requests behind a semaphore (reference:
+    model_worker.py:230-243); here they share the chip.
+
+    ``stream_batch(requests, emit)`` must call ``emit(i, event)`` with
+    events ("token", id) / ("done", None) / ("error", exc) per request.
     """
 
-    def __init__(self, generate_batch, max_batch: int = 8,
+    def __init__(self, stream_batch, max_batch: int = 8,
                  batch_wait_ms: float = 5.0):
-        self.generate_batch = generate_batch
+        self.stream_batch = stream_batch
         self.max_batch = max_batch
         self.batch_wait_s = batch_wait_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
@@ -56,9 +62,9 @@ class BatchingEngine:
         self._thread.start()
 
     def submit(self, request: dict) -> "queue.Queue":
-        done: "queue.Queue" = queue.Queue(maxsize=1)
-        self._queue.put((request, done))
-        return done
+        events: "queue.Queue" = queue.Queue()
+        self._queue.put((request, events))
+        return events
 
     def _loop(self):
         while True:
@@ -74,12 +80,16 @@ class BatchingEngine:
                 except queue.Empty:
                     break
             requests = [b[0] for b in batch]
+            queues = [b[1] for b in batch]
+
+            def emit(i, event):
+                queues[i].put(event)
+
             try:
-                results = self.generate_batch(requests)
-            except Exception as e:  # surface per-request
-                results = [e] * len(batch)
-            for (_, done), res in zip(batch, results):
-                done.put(res)
+                self.stream_batch(requests, emit)
+            except Exception as e:  # surface to every request in the batch
+                for q in queues:
+                    q.put(("error", e))
 
 
 class ModelWorker:
@@ -97,7 +107,7 @@ class ModelWorker:
          self.context_len) = loader(model_path, model_base, self.model_name)
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
-        self.engine = BatchingEngine(self._generate_batch,
+        self.engine = BatchingEngine(self._stream_batch,
                                      max_batch=limit_concurrency)
         if not no_register:
             self.register_to_controller()
@@ -153,57 +163,76 @@ class ModelWorker:
                 out[modal] = np.asarray(items, np.float32)
         return out
 
-    def _generate_batch(self, requests):
-        """Run a micro-batch of requests as one packed generation when
-        none carry media; media requests fall back to per-request calls
-        (their feature instances would otherwise interleave)."""
-        import jax
-        rng = jax.random.PRNGKey(int(time.time()))
-        outs = []
-        simple = all(not r.get("modal_inputs") for r in requests)
-        if simple and len(requests) > 1:
-            ids = [np.asarray(tokenizer_modal_token(r["prompt"],
-                                                    self.tokenizer), np.int64)
-                   for r in requests]
-            max_new = max(min(int(r.get("max_new_tokens", 256)), 1024)
-                          for r in requests)
-            temps = [float(r.get("temperature", 1.0)) for r in requests]
-            temp = temps[0] if all(t == temps[0] for t in temps) else 0.0
-            tokens = self.model.generate(
-                ids, {}, max_new_tokens=max_new,
-                temperature=temp if temp > 1e-4 else 0.0, rng=rng)
-            return tokens
+    def _merge_modal_inputs(self, decoded: list):
+        """Merge per-request decoded modal inputs into one batch dict.
+        plan_pack consumes feature instances in row-major encounter order
+        (core/packing.py), so concatenating each modality's instances in
+        request order packs every request's media into one generation."""
+        merged: dict = {}
+        for d in decoded:
+            for modal, val in (d or {}).items():
+                slot = merged.setdefault(modal, [])
+                slot.append(val)
+        out = {}
+        for modal, vals in merged.items():
+            if isinstance(vals[0], dict):  # audio {inputs, padding_mask}
+                keys = vals[0].keys()
+                out[modal] = {k: np.concatenate([np.asarray(v[k])
+                                                 for v in vals], axis=0)
+                              for k in keys}
+            else:
+                out[modal] = np.concatenate([np.asarray(v) for v in vals],
+                                            axis=0)
+        return out
+
+    def _stream_batch(self, requests, emit):
+        """Pack the whole micro-batch — media included — into ONE
+        generation and stream per-request tokens (models/model.py
+        generate_stream)."""
+        ids_rows, decoded = [], []
         for r in requests:
-            modal_inputs = self.decode_modal_inputs(r.get("modal_inputs"))
-            ids = np.asarray(tokenizer_modal_token(r["prompt"],
-                                                   self.tokenizer), np.int64)
-            outs.append(self.model.generate(
-                [ids], modal_inputs,
-                max_new_tokens=min(int(r.get("max_new_tokens", 256)), 1024),
-                temperature=float(r.get("temperature", 1.0))
-                if float(r.get("temperature", 1.0)) > 1e-4 else 0.0,
-                rng=rng)[0])
-        return outs
+            decoded.append(self.decode_modal_inputs(r.get("modal_inputs")))
+            ids_rows.append(np.asarray(
+                tokenizer_modal_token(r["prompt"], self.tokenizer),
+                np.int64))
+        merged = self._merge_modal_inputs(decoded)
+        max_new = [min(int(r.get("max_new_tokens", 256)), 1024)
+                   for r in requests]
+        temps = [float(r.get("temperature", 1.0)) for r in requests]
+        self.model.generate_stream(
+            ids_rows, merged, max_new_tokens=max_new, temperatures=temps,
+            emit=emit, rng_seed=int(time.time() * 1e3) % (1 << 31))
 
     def generate_stream(self, params: dict):
+        """Yield b"\\0"-delimited JSON chunks AS TOKENS DECODE (the
+        reference's TextIteratorStreamer wire format, reference:
+        model_worker.py:122-192)."""
         prompt = params["prompt"]
         stop_str = params.get("stop")
         self.queue_length += 1
         try:
-            done = self.engine.submit(params)
-            tokens = done.get()
-            if isinstance(tokens, Exception):
-                raise tokens
+            events = self.engine.submit(params)
+            tokens: list = []
+            while True:
+                kind, payload = events.get()
+                if kind == "error":
+                    raise payload
+                if kind == "done":
+                    break
+                tokens.append(payload)
+                text = self.tokenizer.decode(tokens,
+                                             skip_special_tokens=True)
+                if stop_str and text.endswith(stop_str):
+                    text = text[:-len(stop_str)]
+                    yield json.dumps({"text": prompt + text,
+                                      "error_code": 0}).encode() + b"\0"
+                    break
+                yield json.dumps({"text": prompt + text,
+                                  "error_code": 0}).encode() + b"\0"
         finally:
             self.queue_length -= 1
-        text = self.tokenizer.decode(tokens, skip_special_tokens=True)
-        if stop_str and text.endswith(stop_str):
-            text = text[:-len(stop_str)]
-        # stream in chunks (batch-1 decode already ran device-side; chunked
-        # emission keeps the reference's wire format)
-        step = 8
-        for i in range(0, max(len(text), 1), step):
-            yield json.dumps({"text": prompt + text[:i + step],
+        if not tokens:  # empty generation still answers the request
+            yield json.dumps({"text": prompt,
                               "error_code": 0}).encode() + b"\0"
 
 
@@ -216,12 +245,12 @@ def build_app(worker: ModelWorker) -> web.Application:
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
-
-        def run():
-            return list(worker.generate_stream(params))
-
-        chunks = await loop.run_in_executor(None, run)
-        for chunk in chunks:
+        gen = worker.generate_stream(params)
+        sentinel = object()
+        while True:  # write each chunk the moment it is produced
+            chunk = await loop.run_in_executor(None, next, gen, sentinel)
+            if chunk is sentinel:
+                break
             await resp.write(chunk)
         return resp
 

@@ -76,6 +76,13 @@ class FakeModel:
                  temperature=0.0, rng=None):
         return [[11, 12, 13]]
 
+    def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
+                        temperatures, emit, rng_seed=None, bucket_len=None):
+        for b in range(len(ids)):
+            for tok in (11, 12, 13):
+                emit(b, ("token", tok))
+            emit(b, ("done", None))
+
 
 class FakeTokenizer:
     bos_token_id = 1
@@ -195,31 +202,155 @@ def test_batching_engine_coalesces_requests():
 
     seen_batches = []
 
-    def gen(requests):
+    def stream(requests, emit):
         seen_batches.append(len(requests))
-        return [f"out-{r['prompt']}" for r in requests]
+        for i, r in enumerate(requests):
+            emit(i, ("token", int(r["prompt"])))
+            emit(i, ("done", None))
 
-    engine = BatchingEngine(gen, max_batch=4, batch_wait_ms=50)
+    engine = BatchingEngine(stream, max_batch=4, batch_wait_ms=50)
     results = {}
 
     def call(i):
-        results[i] = engine.submit({"prompt": str(i)}).get()
+        q = engine.submit({"prompt": str(i)})
+        toks = []
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                break
+            toks.append(payload)
+        results[i] = toks
 
     threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    assert results == {i: f"out-{i}" for i in range(4)}
+    assert results == {i: [i] for i in range(4)}
     assert max(seen_batches) >= 2  # coalesced
 
 
 def test_batching_engine_error_propagates():
     from modelcompose_tpu.serve.model_worker import BatchingEngine
 
-    def gen(requests):
+    def stream(requests, emit):
         raise RuntimeError("boom")
 
-    engine = BatchingEngine(gen, max_batch=2, batch_wait_ms=1)
-    res = engine.submit({"prompt": "x"}).get()
-    assert isinstance(res, RuntimeError)
+    engine = BatchingEngine(stream, max_batch=2, batch_wait_ms=1)
+    kind, payload = engine.submit({"prompt": "x"}).get()
+    assert kind == "error" and isinstance(payload, RuntimeError)
+
+
+# ------------------------------------------------------------- streaming
+
+def test_streaming_chunks_arrive_before_generation_completes():
+    """TRUE incremental streaming over a live socket: a chunk must reach
+    the client while the model is still decoding (the reference's
+    TextIteratorStreamer semantics, reference: model_worker.py:122-192)."""
+    import threading
+
+    from modelcompose_tpu.serve.model_worker import ModelWorker, \
+        build_app as build_worker_app
+
+    finished = threading.Event()
+
+    class SlowStreamModel(FakeModel):
+        def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
+                            temperatures, emit, rng_seed=None,
+                            bucket_len=None):
+            for tok in (11, 12, 13, 14):
+                emit(0, ("token", tok))
+                time.sleep(0.15)  # still "decoding" after each token
+            emit(0, ("done", None))
+            finished.set()
+
+    class CountingTokenizer(FakeTokenizer):
+        def decode(self, ids, skip_special_tokens=True):
+            return "tok " * len(ids)
+
+    def loader(mp, mb, name):
+        return CountingTokenizer(), SlowStreamModel(), {}, 2048
+
+    worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
+                         no_register=True, loader=loader)
+
+    async def run():
+        app = build_worker_app(worker)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/worker_generate_stream",
+                                  json={"prompt": "hi", "temperature": 0,
+                                        "max_new_tokens": 4})
+            got_early_chunk = False
+            chunks = []
+            async for piece in r.content.iter_any():
+                chunks.extend(p for p in piece.split(b"\0") if p)
+                if chunks and not finished.is_set():
+                    got_early_chunk = True
+            assert got_early_chunk, \
+                "no chunk arrived before generation completed"
+            assert len(chunks) >= 2
+            assert json.loads(chunks[-1])["error_code"] == 0
+
+    asyncio.get_event_loop().run_until_complete(run())
+
+
+def test_media_requests_batch_as_one_packed_generation():
+    """Two image requests coalesce into ONE packed generation: their
+    feature instances concatenate in request order (plan_pack row-major
+    consumption) instead of falling back to sequential batch-1."""
+    import threading
+
+    import jax
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.serve.model_worker import ModelWorker
+    from tests.fake_tokenizer import FakeLlamaTokenizer
+
+    cfg = tiny_test_config(mm_vision_encoder="test:8x1", mm_hidden_size=8,
+                           mm_projector_type="mlp2x_gelu")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    calls = []
+    orig = model.generate_stream
+
+    def counting(ids, modal_inputs, **kw):
+        calls.append((len(ids),
+                      {m: np.asarray(v).shape[0]
+                       for m, v in modal_inputs.items()}))
+        return orig(ids, modal_inputs, **kw)
+
+    model.generate_stream = counting
+
+    def loader(mp, mb, name):
+        return FakeLlamaTokenizer(), model, model.modal_processors(), 2048
+
+    worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
+                         no_register=True, loader=loader)
+
+    import base64
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (28, 28), (255, 0, 0)).save(buf, format="PNG")
+    img_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    results = {}
+
+    def call(i):
+        chunks = list(worker.generate_stream(
+            {"prompt": f"<image>\nquestion {i}", "max_new_tokens": 3,
+             "temperature": 0, "modal_inputs": {"vision": [img_b64]}}))
+        results[i] = chunks
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 2
+    for chunks in results.values():
+        assert json.loads(chunks[-1][:-1])["error_code"] == 0
+    # both media requests ran as one packed generation with 2 images
+    assert any(n_ids == 2 and feats.get("vision") == 2
+               for n_ids, feats in calls), calls
