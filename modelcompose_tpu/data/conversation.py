@@ -235,6 +235,37 @@ conv_llava_v1 = Conversation(
     sep2="</s>",
 )
 
+conv_llava_v0_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("Human", "Assistant"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0_mmtag",
+)
+
+conv_llava_v1_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1_mmtag",
+)
+
 default_conversation = conv_vicuna_v0
 conv_templates = {
     "default": conv_vicuna_v0,
@@ -245,7 +276,9 @@ conv_templates = {
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
     "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }

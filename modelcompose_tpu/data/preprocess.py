@@ -102,6 +102,48 @@ def preprocess_llama_2(sources, tokenizer, has_image: bool = False) -> Dict:
     return dict(input_ids=input_ids, labels=targets)
 
 
+def preprocess_mpt(sources, tokenizer) -> Dict:
+    """MPT chat-ml masking (reference: data/utils.py:238-301): rounds split
+    on '<|im_end|>' and regrouped as [system+user+gpt], then [user+gpt]
+    pairs; only assistant spans keep labels."""
+    conv = conversation_lib.default_conversation.copy()
+    conversations = _render_conversations(sources, conv)
+    input_ids = [np.asarray(tokenizer_modal_token(p, tokenizer), np.int64)
+                 for p in conversations]
+    targets = [ids.copy() for ids in input_ids]
+    assert conv.sep_style == SeparatorStyle.MPT
+
+    def tok_len(text):
+        return len(tokenizer_modal_token(text, tokenizer))
+
+    sep = conv.sep + conv.roles[1]
+    model_max_length = getattr(tokenizer, "model_max_length", 1 << 30)
+    for conversation, target in zip(conversations, targets):
+        total_len = int((target != tokenizer.pad_token_id).sum()) \
+            if tokenizer.pad_token_id is not None else len(target)
+        rounds = conversation.split(conv.sep)
+        re_rounds = [conv.sep.join(rounds[:3])]  # system + user + gpt
+        for conv_idx in range(3, len(rounds), 2):
+            re_rounds.append(conv.sep.join(rounds[conv_idx:conv_idx + 2]))
+        cur_len = 0
+        target[:cur_len] = IGNORE_INDEX
+        for rou in re_rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = tok_len(rou) + tok_len(conv.sep)
+            instruction_len = tok_len(parts[0])
+            target[cur_len:cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX  # tokenization mismatch -> drop sample
+    return dict(input_ids=input_ids, labels=targets)
+
+
 def preprocess_plain(sources, tokenizer) -> Dict:
     """Stage-1: '<modal>caption' concat, media span + prompt masked
     (reference: data/utils.py:305-324)."""
@@ -129,6 +171,8 @@ def preprocess(sources: Sequence[List[dict]], tokenizer,
         return preprocess_llama_2(sources, tokenizer, has_image=has_image)
     if conv.version.startswith("v1"):
         return preprocess_v1(sources, tokenizer, has_image=has_image)
+    if conv.version == "mpt":
+        return preprocess_mpt(sources, tokenizer)
     raise NotImplementedError(
         f"preprocess for template {conv.version!r}/{conv.sep_style} "
         "is not implemented")

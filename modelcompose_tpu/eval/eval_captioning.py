@@ -1,10 +1,15 @@
-"""Caption metrics: BLEU-1..4 and CIDEr-D, self-contained.
+"""Caption metrics: BLEU-1..4, METEOR, ROUGE-L and CIDEr-D, self-contained.
 
 Plays the role of the reference's pycocoevalcap-based scorer (reference:
 modelcompose/eval/eval_captioning.py:1-16) — that package is not in this
 image, so the standard formulas are implemented directly: corpus BLEU with
-brevity penalty (uniform weights), and CIDEr-D (n-gram TF-IDF cosine with
-length gaussian penalty, sigma=6, n=1..4).
+brevity penalty (uniform weights), ROUGE-L exactly as pycocoevalcap's
+pure-python scorer (LCS F-measure, beta=1.2, max over references, corpus
+mean), METEOR with the classic exact-match formula (alpha=0.9 F-mean,
+0.5*(chunks/matches)^3 fragmentation penalty — pycocoevalcap shells out to
+the METEOR Java jar with synonym/stem modules, so values are comparable
+but not bit-identical), and CIDEr-D (n-gram TF-IDF cosine with length
+gaussian penalty, sigma=6, n=1..4).
 
 Inputs follow the reference's format: results jsonl with
 ``{"question_id", "text"}`` and a COCO-style annotation json with
@@ -103,6 +108,79 @@ def cider_d(hypotheses: List[List[str]], references: List[List[List[str]]],
     return sum(scores) / max(len(scores), 1)
 
 
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(hypotheses: List[List[str]],
+            references: List[List[List[str]]], beta: float = 1.2) -> float:
+    """Corpus ROUGE-L: per sample the MAX LCS F-measure over references
+    (pycocoevalcap rouge.py algorithm, beta=1.2), averaged."""
+    scores = []
+    for h, refs in zip(hypotheses, references):
+        best = 0.0
+        for r in refs:
+            lcs = _lcs_len(h, r)
+            prec = lcs / max(len(h), 1)
+            rec = lcs / max(len(r), 1)
+            if prec > 0 and rec > 0:
+                best = max(best, ((1 + beta ** 2) * prec * rec)
+                           / (rec + beta ** 2 * prec))
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+def _meteor_single(h: List[str], r: List[str],
+                   alpha: float = 0.9, beta: float = 3.0,
+                   gamma: float = 0.5) -> float:
+    """Classic METEOR with exact unigram matching: greedy left-to-right
+    alignment, harmonic F-mean (recall-weighted by alpha), fragmentation
+    penalty gamma*(chunks/matches)^beta."""
+    if not h or not r:
+        return 0.0
+    ref_slots: Dict[str, List[int]] = defaultdict(list)
+    for j, w in enumerate(r):
+        ref_slots[w].append(j)
+    align = []  # (hyp_idx, ref_idx)
+    used = set()
+    for i, w in enumerate(h):
+        for j in ref_slots.get(w, ()):
+            if j not in used:
+                align.append((i, j))
+                used.add(j)
+                break
+    m = len(align)
+    if m == 0:
+        return 0.0
+    prec = m / len(h)
+    rec = m / len(r)
+    f_mean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+    chunks = 1
+    for (pi, pj), (ci, cj) in zip(align, align[1:]):
+        if ci != pi + 1 or cj != pj + 1:
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return f_mean * (1 - penalty)
+
+
+def meteor(hypotheses: List[List[str]],
+           references: List[List[List[str]]]) -> float:
+    """Corpus METEOR: per sample the max over references, averaged."""
+    scores = []
+    for h, refs in zip(hypotheses, references):
+        scores.append(max((_meteor_single(h, r) for r in refs),
+                          default=0.0))
+    return sum(scores) / max(len(scores), 1)
+
+
 def evaluate_captions(result_file: str, annotation_file: str,
                       verbose: bool = True) -> Dict[str, float]:
     results = [json.loads(l) for l in open(result_file)]
@@ -120,6 +198,8 @@ def evaluate_captions(result_file: str, annotation_file: str,
     bleu = corpus_bleu(hyps, refs)
     cider = cider_d(hyps, refs)
     out = {f"BLEU-{i + 1}": round(b, 4) for i, b in enumerate(bleu)}
+    out["METEOR"] = round(meteor(hyps, refs), 4)
+    out["ROUGE-L"] = round(rouge_l(hyps, refs), 4)
     out["CIDEr-D"] = round(cider, 4)
     if verbose:
         for k, v in out.items():

@@ -71,3 +71,46 @@ def test_compare_checkpoints(tmp_path):
                   open(d / "config.json", "w"))
     res = compare_checkpoints(str(tmp_path / "a"), str(tmp_path / "b"))
     assert res["L2"] > 0 and 0 <= res["SSD"] <= 1
+
+
+# ------------------------------------------------- METEOR / ROUGE-L
+
+def test_rouge_l_hand_computed():
+    from modelcompose_tpu.eval.eval_captioning import rouge_l
+    h = "the cat sat".split()
+    r = "the cat sat on the mat".split()
+    # LCS=3 -> P=1, R=0.5, beta=1.2: F = (1+1.44)*0.5 / (0.5+1.44)
+    want = (1 + 1.2 ** 2) * 1.0 * 0.5 / (0.5 + 1.2 ** 2 * 1.0)
+    assert abs(rouge_l([h], [[r]]) - want) < 1e-9
+    # identical -> 1; disjoint -> 0; max over refs picks the better one
+    assert rouge_l([h], [[h]]) == 1.0
+    assert rouge_l([h], [["dog".split()[0]]]) == 0.0
+    assert rouge_l([h], [[["x"], h]]) == 1.0
+
+
+def test_meteor_hand_computed():
+    from modelcompose_tpu.eval.eval_captioning import meteor
+    h = "the cat sat".split()
+    # identical: m=3, F=1, chunks=1 -> 1 - 0.5*(1/3)^3
+    assert abs(meteor([h], [[h]]) - (1 - 0.5 / 27)) < 1e-9
+    assert meteor([h], [[["dog"]]]) == 0.0
+    # reordering fragments the alignment -> lower score than identical
+    shuffled = ["sat", "the", "cat"]
+    assert meteor([shuffled], [[h]]) < meteor([h], [[h]])
+
+
+def test_evaluate_captions_reports_all_metrics(tmp_path):
+    import json
+    from modelcompose_tpu.eval.eval_captioning import evaluate_captions
+    res = tmp_path / "res.jsonl"
+    ann = tmp_path / "ann.json"
+    with open(res, "w") as f:
+        f.write(json.dumps({"question_id": 1,
+                            "text": "a cat on a mat"}) + "\n")
+    json.dump({"annotations": [{"image_id": 1,
+                                "caption": "a cat sits on a mat"}]},
+              open(ann, "w"))
+    out = evaluate_captions(str(res), str(ann), verbose=False)
+    for key in ("BLEU-1", "BLEU-4", "METEOR", "ROUGE-L", "CIDEr-D"):
+        assert key in out
+    assert 0 < out["ROUGE-L"] <= 1 and 0 < out["METEOR"] <= 1

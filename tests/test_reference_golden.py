@@ -43,7 +43,7 @@ def test_conversation_prompts_byte_identical(ref):
     # completed assistant turn in the reference too — it is only ever used
     # through preprocess_plain (string concat), which we mirror directly.
     for name in ("vicuna_v1", "v1", "llama_2", "mpt", "v0",
-                 "llava_v1", "llava_llama_2"):
+                 "llava_v1", "llava_llama_2", "v0_mmtag", "v1_mmtag"):
         ours = conv_templates[name].copy()
         theirs = ref["conv"].conv_templates[name].copy()
         for user, assistant in turns:
@@ -191,6 +191,39 @@ def test_preprocess_v1_identical(ref):
 
     ours = preprocess(sources, tok, has_image=True)
     theirs = ref_utils.preprocess(sources, tok, has_image=True)
+    np.testing.assert_array_equal(ours["input_ids"][0],
+                                  theirs["input_ids"][0].numpy())
+    np.testing.assert_array_equal(ours["labels"][0],
+                                  theirs["labels"][0].numpy())
+
+
+def test_preprocess_mpt_identical(ref):
+    import modelcompose.conversation as ref_conv_lib
+    import modelcompose.data.utils as ref_utils
+
+    from modelcompose_tpu.data import conversation as conversation_lib
+    from modelcompose_tpu.data.conversation import conv_templates
+    from modelcompose_tpu.data.preprocess import preprocess
+
+    tok = FakeLlamaTokenizer()
+    sources = [[{"from": "human", "value": "<image>\nwhat is shown"},
+                {"from": "gpt", "value": "a small cat"},
+                {"from": "human", "value": "any <audio> sound"},
+                {"from": "gpt", "value": "meowing"}]]
+
+    conversation_lib.default_conversation = conv_templates["mpt"]
+    ref_conv_lib.default_conversation = ref_conv_lib.conv_templates["mpt"]
+
+    # The reference's preprocess_mpt references tokenizer_image_token
+    # without importing it (latent NameError in the shipped code,
+    # reference: data/utils.py:283); restore the intended import from
+    # mm_utils so the oracle runs.
+    if not hasattr(ref_utils, "tokenizer_image_token"):
+        from modelcompose.mm_utils import tokenizer_image_token
+        ref_utils.tokenizer_image_token = tokenizer_image_token
+
+    ours = preprocess(sources, tok, has_image=True)
+    theirs = ref_utils.preprocess(sources, tok)
     np.testing.assert_array_equal(ours["input_ids"][0],
                                   theirs["input_ids"][0].numpy())
     np.testing.assert_array_equal(ours["labels"][0],
