@@ -34,10 +34,21 @@ def default_mesh() -> Mesh:
     return make_mesh(data=len(jax.devices()), model=1)
 
 
-def mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
-    """Pure-DP mesh whose data axis divides the global batch (the largest
-    such divisor that fits the device count)."""
+def mesh_for_batch(batch_size: int, model: int = 1,
+                   allow_partial: bool = False) -> Mesh:
+    """Pure-DP mesh whose data axis divides the global batch.
+
+    By default the batch must use EVERY available device — a prime batch
+    size silently degrading to data=1 wastes 7/8 of a v5e-8 (the failure
+    mode the reference's deepspeed launcher would error on).  Pass
+    ``allow_partial=True`` to accept the largest divisor instead.
+    """
     n = len(jax.devices()) // model
+    if batch_size % n != 0 and not allow_partial:
+        raise ValueError(
+            f"global batch {batch_size} does not divide the data axis "
+            f"({n} devices / model={model}); pick a divisible batch size "
+            "or pass allow_partial=True")
     data = 1
     for d in range(1, n + 1):
         if batch_size % d == 0:
@@ -104,6 +115,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(tree, mesh: Mesh):
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_encoder_features(feats, mesh: Mesh):
+    """Shard per-modality feature tables over the data axis when their
+    instance count divides it; replicate otherwise.  At 8 chips a video
+    batch (8 x 257 x 4096 per sample) replicated costs ~HBM * data_axis —
+    sharding it is the difference between fitting and OOM."""
+    data = mesh.shape["data"]
+    out = {}
+    for modal, f in feats.items():
+        spec = P("data") if f.shape[0] % data == 0 else P()
+        out[modal] = jax.device_put(f, NamedSharding(mesh, spec))
+    return out
 
 
 def replicated(tree, mesh: Mesh):

@@ -41,7 +41,8 @@ from ..data import conversation as conversation_lib
 from ..data.conversation import conv_templates
 from ..data.dataset import DataCollatorForSupervisedDataset, MultimodalDataset
 from ..models.model import MultimodalLM
-from ..parallel.mesh import batch_sharding, mesh_for_batch, shard_params
+from ..parallel.mesh import (batch_sharding, mesh_for_batch,
+                             shard_encoder_features, shard_params)
 from .checkpoint import (latest_checkpoint, restore_step_checkpoint,
                          save_adapter_checkpoint, save_projector_checkpoint,
                          save_step_checkpoint)
@@ -262,7 +263,12 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         weight_decay=args.weight_decay,
         tune_mm_mlp_adapter=args.tune_mm_mlp_adapter)
 
-    mesh = mesh_for_batch(B)
+    mesh = mesh_for_batch(B, allow_partial=True)
+    n_dev = len(jax.devices())
+    if mesh.devices.size < n_dev:
+        print(f"[train] WARNING: global batch {B} does not divide "
+              f"{n_dev} devices; using a {mesh.devices.size}-device data "
+              f"mesh ({n_dev - mesh.devices.size} devices idle)")
     params = shard_params(model.params, mesh)
     state = init_train_state(cfg, tc, params, model.projectors)
     tx, _ = make_optimizer(cfg, tc, state.params)
@@ -315,7 +321,8 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             batch, layout = make_batch(model, collated)
             with mesh:
                 batch = {k: (jax.device_put(v, bs)
-                             if k != "encoder_features" else v)
+                             if k != "encoder_features" else
+                             shard_encoder_features(v, mesh))
                          for k, v in batch.items()}
                 state, loss = step_fn(state, batch, layout)
             step_idx += 1
