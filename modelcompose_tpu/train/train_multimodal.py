@@ -85,6 +85,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--mm_projector_lr", type=float, default=None)
     p.add_argument("--mm_language_lr", type=float, default=None)
+    p.add_argument("--mm_vision_tower_lr", type=float, default=None)
+    p.add_argument("--mm_vision_tower_layerwise_lr_decay", type=float,
+                   default=1.0)
     p.add_argument("--warmup_ratio", type=float, default=0.03)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--model_max_length", type=int, default=2048)
@@ -185,13 +188,20 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
 
 
 def make_batch(model: MultimodalLM, collated: Dict[str, Any],
-               buckets=DEFAULT_BUCKETS):
+               buckets=DEFAULT_BUCKETS, tower_train: bool = False):
     """Collator output -> device batch for the jitted step (towers run here,
-    outside the step — they're frozen)."""
+    outside the step — they're frozen).  With ``tower_train`` the vision
+    pixels stay raw and the CLIP forward runs INSIDE the step so tower
+    gradients flow (reference: llava_trainer.py:193-249)."""
     import jax.numpy as jnp
     feats = {}
+    tower_pixels = {}
     for modal, raw in collated.get("modal_inputs", {}).items():
         enc = model.encoders[modal]
+        if modal == "vision" and tower_train:
+            tower_pixels[modal] = np.asarray(raw)
+            feats[modal] = None  # span accounting below; not pre-encoded
+            continue
         if modal == "audio":
             out = enc.encode(**raw) if isinstance(raw, dict) else \
                 enc.encode(raw)
@@ -205,7 +215,10 @@ def make_batch(model: MultimodalLM, collated: Dict[str, Any],
     spans = {}
     for modal, f in feats.items():
         span = model.feature_span_len(modal)
-        spans[modal] = (int(f.shape[0]), span)
+        n = int(tower_pixels[modal].shape[0]) if f is None else \
+            int(f.shape[0])
+        spans[modal] = (n, span)
+    feats = {m: f for m, f in feats.items() if f is not None}
     # span lengths include prefix/suffix added INSIDE the loss; but packing
     # plans against the full span
     total = max((len(ids) + sum(
@@ -217,6 +230,9 @@ def make_batch(model: MultimodalLM, collated: Dict[str, Any],
                      labels=collated["labels"], bucket_len=bucket)
     batch = {
         "encoder_features": {m: jnp.asarray(f) for m, f in feats.items()},
+        **({"tower_pixels": {m: jnp.asarray(v)
+                             for m, v in tower_pixels.items()}}
+           if tower_pixels else {}),
         "token_ids": jnp.asarray(plan.token_ids),
         "feat_idx": jnp.asarray(plan.feat_idx),
         "is_feat": jnp.asarray(plan.is_feat),
@@ -259,6 +275,8 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         learning_rate=args.learning_rate,
         mm_projector_lr=args.mm_projector_lr,
         mm_language_lr=args.mm_language_lr,
+        mm_vision_tower_lr=args.mm_vision_tower_lr,
+        mm_vision_tower_layerwise_lr_decay=args.mm_vision_tower_layerwise_lr_decay,
         warmup_ratio=args.warmup_ratio, total_steps=total_steps,
         weight_decay=args.weight_decay,
         tune_mm_mlp_adapter=args.tune_mm_mlp_adapter)
@@ -270,7 +288,12 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
               f"{n_dev} devices; using a {mesh.devices.size}-device data "
               f"mesh ({n_dev - mesh.devices.size} devices idle)")
     params = shard_params(model.params, mesh)
-    state = init_train_state(cfg, tc, params, model.projectors)
+    tower_train = (tc.mm_vision_tower_lr is not None
+                   and "vision" in model.encoders)
+    tower_params = {"vision": model.encoders["vision"].params} \
+        if tower_train else None
+    state = init_train_state(cfg, tc, params, model.projectors,
+                             tower_params=tower_params)
     tx, _ = make_optimizer(cfg, tc, state.params)
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:
@@ -291,7 +314,10 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             micro_grads.clear()
             return apply_fn(state, total), loss
     else:
-        step_fn = make_train_step(cfg, tc, tx)
+        step_fn = make_train_step(
+            cfg, tc, tx,
+            vision_tower_cfg=model.encoders["vision"].cfg
+            if tower_train else None)
 
     resume = latest_checkpoint(args.output_dir)
     if resume:
@@ -318,10 +344,12 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         for collated in loader:
             if step_idx >= total_steps:
                 break
-            batch, layout = make_batch(model, collated)
+            batch, layout = make_batch(model, collated,
+                                       tower_train=tower_train)
             with mesh:
                 batch = {k: (jax.device_put(v, bs)
-                             if k != "encoder_features" else
+                             if k not in ("encoder_features",
+                                          "tower_pixels") else
                              shard_encoder_features(v, mesh))
                          for k, v in batch.items()}
                 state, loss = step_fn(state, batch, layout)

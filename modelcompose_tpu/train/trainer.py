@@ -51,6 +51,12 @@ class TrainConfig:
     adam_eps: float = 1e-8
     max_grad_norm: Optional[float] = None
     tune_mm_mlp_adapter: bool = False  # stage-1: projector-only
+    # Optional vision-tower training with layerwise lr decay (reference:
+    # llava_trainer.py:98-132, 193-249 — unused by the DAMC recipes but a
+    # reference capability): the top encoder layer trains at
+    # mm_vision_tower_lr and each deeper layer at lr * decay^depth.
+    mm_vision_tower_lr: Optional[float] = None
+    mm_vision_tower_layerwise_lr_decay: float = 1.0
     # bf16 first moments halve optimizer memory — material here because
     # DAMC adapters at r=128 x n_modalities are billions of parameters
     # (the reason the reference needs ZeRO over 8 GPUs)
@@ -121,6 +127,46 @@ def _scale_adapter_rows(row_lrs: np.ndarray):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_tower_layerwise(n_layers: int, lr: float, decay: float):
+    """Layerwise-decayed lr for a stacked CLIP tower param pytree
+    (models/vision_clip.py layout), matched by leaf PATH so it composes
+    with optax.multi_transform's masking.
+
+    Depth order matches the reference's reversed-layer walk
+    (llava_trainer.py:98-132): stacked encoder layer l gets
+    ``lr * decay^(n_layers - l)``, pre_layernorm one decay step deeper,
+    embeddings deepest.  (The reference also walks post_layernorm at the
+    top; our tower taps hidden layer -2 and never materializes it.)
+    Because layers are STACKED on a leading axis, the whole schedule is
+    one broadcast vector per leaf — no per-layer param groups.  Adam +
+    schedule output is a normalized direction, so the leaf lr IS the
+    step size (multiplied by -1 for descent)."""
+    layer_scale = jnp.asarray(
+        lr * decay ** (n_layers - np.arange(n_layers, dtype=np.float32)))
+    pre_lr = lr * decay ** (n_layers + 1)
+    emb_lr = lr * decay ** (n_layers + 2)
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            keys = {getattr(p, "key", None) for p in path}
+            if "layers" in keys:
+                return u * (-layer_scale).reshape(
+                    (n_layers,) + (1,) * (u.ndim - 1))
+            if "pre_layernorm" in keys:
+                return u * (-pre_lr)
+            return u * (-emb_lr)
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
                      tc: TrainConfig) -> Dict[str, Any]:
     """Label pytree over {'backbone':..., 'projectors':...}."""
@@ -140,6 +186,9 @@ def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
                                                     backbone[kind])
     labels["projectors"] = jax.tree.map(lambda _: "proj",
                                         train_params["projectors"])
+    if "towers" in train_params:
+        labels["towers"] = jax.tree.map(lambda _: "tower",
+                                        train_params["towers"])
     return labels
 
 
@@ -169,6 +218,16 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
         "proj": group(tc.proj_lr()),
         "soft": group(tc.learning_rate),
     }
+    if "towers" in train_params and tc.mm_vision_tower_lr is not None:
+        tower = train_params["towers"]["vision"]
+        n_layers = int(tower["layers"]["q"]["w"].shape[0])
+        transforms["tower"] = optax.chain(
+            adam(), optax.scale_by_schedule(sched),
+            _scale_tower_layerwise(
+                n_layers, tc.mm_vision_tower_lr,
+                tc.mm_vision_tower_layerwise_lr_decay))
+    else:
+        transforms["tower"] = optax.set_to_zero()
     labels = trainable_labels(train_params, cfg, tc)
     tx = optax.multi_transform(transforms, labels)
     if tc.max_grad_norm:
@@ -185,9 +244,11 @@ class TrainState:
 
 
 def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
-                     projector_params) -> TrainState:
+                     projector_params, tower_params=None) -> TrainState:
     train_params = {"backbone": backbone_params,
                     "projectors": projector_params}
+    if tower_params is not None:
+        train_params["towers"] = tower_params
     tx, _ = make_optimizer(cfg, tc, train_params)
     opt_state = tx.init(train_params)
     return TrainState(params=train_params, opt_state=opt_state,
@@ -196,20 +257,36 @@ def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
 
 def multimodal_loss_from_features(train_params, cfg: ModelConfig,
                                   routing_table, batch,
-                                  attn_impl: str = "auto"):
+                                  attn_impl: str = "auto",
+                                  vision_tower_cfg=None):
     """Loss over a pre-encoded batch.
 
     batch: dict with 'encoder_features' {modal: [n, T_enc, d_enc]} (frozen
     tower outputs), 'plan' arrays (token_ids/feat_idx/is_feat/route_ids/
     labels/segment_ids as jnp arrays), and 'feat_layout'.
-    The projector runs *inside* the loss so its gradient flows.
+    The projector runs *inside* the loss so its gradient flows.  When
+    vision-tower training is on (mm_vision_tower_lr), the batch carries
+    raw 'tower_pixels' and the CLIP forward runs in-graph so tower
+    gradients flow too (reference: llava_trainer.py:221-249).
     """
     backbone = train_params["backbone"]
     projectors = train_params["projectors"]
+    encoder_features = dict(batch["encoder_features"])
+    if "towers" in train_params and "tower_pixels" in batch:
+        from ..models.vision_clip import clip_vision_features
+        encoder_features["vision"] = clip_vision_features(
+            train_params["towers"]["vision"], vision_tower_cfg,
+            batch["tower_pixels"]["vision"])
     feats = {}
-    for modal, x in batch["encoder_features"].items():
-        y = apply_projector(cfg.projector_type(modal), projectors[modal],
-                            jax.lax.stop_gradient(x))
+    for modal, x in encoder_features.items():
+        if modal == "vision" and "towers" in train_params \
+                and "tower_pixels" in batch:
+            y = apply_projector(cfg.projector_type(modal),
+                                projectors[modal], x)  # tower grads flow
+        else:
+            y = apply_projector(cfg.projector_type(modal),
+                                projectors[modal],
+                                jax.lax.stop_gradient(x))
         parts = []
         b = y.shape[0]
         prefix = (backbone.get("prefix_tokens") or {}).get(modal)
@@ -239,7 +316,8 @@ def multimodal_loss_from_features(train_params, cfg: ModelConfig,
 
 
 def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
-                    attn_impl: str = "auto", donate: bool = True):
+                    attn_impl: str = "auto", donate: bool = True,
+                    vision_tower_cfg=None):
     """donate=True frees the old TrainState's buffers each step (the
     production setting); pass False when the caller keeps references to the
     initial params (tests)."""
@@ -254,7 +332,8 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
 
         def loss_fn(train_params):
             return multimodal_loss_from_features(
-                train_params, cfg, routing_table, batch, attn_impl)
+                train_params, cfg, routing_table, batch, attn_impl,
+                vision_tower_cfg=vision_tower_cfg)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -242,3 +242,97 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     pa = np.asarray(state_a.params["projectors"]["vision"]["layers"][0]["w"])
     pb = np.asarray(state_b.params["projectors"]["vision"]["layers"][0]["w"])
     np.testing.assert_allclose(pa, pb, atol=1e-5)
+
+
+def test_vision_tower_layerwise_lr_decay():
+    """Vision-tower training with layerwise lr decay (reference:
+    llava_trainer.py:98-132): tower params update, and the per-layer
+    update magnitude decays with depth (top stacked layer steps ~1/decay
+    larger than the one below; embeddings deepest)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+    from modelcompose_tpu.core.packing import plan_pack
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.train.train_multimodal import make_batch
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+
+    # 3 tower layers: features tap hidden -2, so layers 0..1 contribute
+    # (the top layer never influences the features and must not move)
+    cfg = tiny_test_config(mm_vision_encoder="test:8x3", mm_hidden_size=8,
+                           mm_projector_type="mlp2x_gelu",
+                           lora_strategy="modal+language",
+                           hidden_size=32, intermediate_size=64,
+                           num_attention_heads=2, num_key_value_heads=2,
+                           dtype="float32")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    decay = 0.5
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0,
+                     mm_vision_tower_lr=1e-2,
+                     mm_vision_tower_layerwise_lr_decay=decay)
+    tower0 = jax.tree.map(np.asarray, model.encoders["vision"].params)
+    state = init_train_state(cfg, tc, model.params, model.projectors,
+                             tower_params={"vision":
+                                           model.encoders["vision"].params})
+    tx, _ = make_optimizer(cfg, tc, state.params)
+    step = make_train_step(cfg, tc, tx, attn_impl="xla", donate=False,
+                           vision_tower_cfg=model.encoders["vision"].cfg)
+
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    collated = {
+        "input_ids": [np.array([1, IMG, 7, 8]), np.array([1, IMG, 9, 10])],
+        "labels": [np.array([-100, -100, 7, 8]),
+                   np.array([-100, -100, 9, 10])],
+        "modal_inputs": {"vision": np.random.RandomState(0).randn(
+            2, 28, 28, 3).astype(np.float32)},
+    }
+    batch, layout = make_batch(model, collated, tower_train=True)
+    assert "tower_pixels" in batch and "vision" not in \
+        batch["encoder_features"]
+    # two steps: the warmup schedule multiplier is 0 at step 0
+    state, loss = step(state, batch, layout)
+    state, loss = step(state, batch, layout)
+    assert np.isfinite(float(loss))
+
+    tower1 = state.params["towers"]["vision"]
+    qw0, qw1 = tower0["layers"]["q"]["w"], np.asarray(
+        tower1["layers"]["q"]["w"])
+    per_layer = np.abs(qw1 - qw0).mean(axis=(1, 2))  # [L]
+    assert per_layer[1] > 0, "tower did not train"
+    assert per_layer[2] == 0, "layer above the -2 tap must have zero grad"
+    # layer 1 steps ~1/decay larger than layer 0 (Adam output is a
+    # normalized direction, so the leaf lr IS the step magnitude)
+    ratio = per_layer[1] / per_layer[0]
+    assert 1.5 < ratio < 2.5, (per_layer, ratio)
+    emb_delta = np.abs(np.asarray(tower1["patch_embedding"])
+                       - tower0["patch_embedding"]).mean()
+    assert emb_delta < per_layer[0], (emb_delta, per_layer)
+
+
+def test_tower_frozen_without_vision_tower_lr():
+    """Without mm_vision_tower_lr the tower label is set_to_zero."""
+    import jax
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                make_optimizer)
+
+    cfg = tiny_test_config(mm_vision_encoder="test:8x1", mm_hidden_size=8,
+                           lora_strategy="modal+language", dtype="float32")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4)
+    train_params = {"backbone": model.params,
+                    "projectors": model.projectors,
+                    "towers": {"vision": model.encoders["vision"].params}}
+    tx, labels = make_optimizer(cfg, tc, train_params)
+    assert set(jax.tree.leaves(labels["towers"])) == {"tower"}
+    grads = jax.tree.map(lambda x: np.ones_like(x), train_params)
+    updates, _ = tx.update(grads, tx.init(train_params), train_params)
+    assert all(np.all(np.asarray(u) == 0)
+               for u in jax.tree.leaves(updates["towers"]))
