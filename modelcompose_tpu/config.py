@@ -81,6 +81,15 @@ class ModelConfig:
     # --- merge-time behavioral switches (written by the merge CLI) ---
     merge_default_weights: Optional[str] = None  # 'sum' | 'mean' | 'linear-'
     reset_scaling_weights: Optional[str] = None  # coefficient string
+    # Per-modal {modal}_lora_{r,alpha} stamps the merge CLI writes into
+    # config.json (reference: merge_unimodal_modelcompose.py:131-140).
+    # The reference runtime DROPS these and applies the global alpha/r to
+    # every adapter, silently mis-scaling heterogeneous-alpha compositions;
+    # here the per-modal alpha/r ratio is honored, and a rank different
+    # from lora_r raises (stacked adapters share one rank — the reference
+    # would silently drop those weights at strict=False overlay).
+    modal_lora_params: Dict[str, Dict[str, int]] = dataclasses.field(
+        default_factory=dict)
 
     # --- modality encoder specs (presence toggles the modality) ---
     mm_vision_encoder: Optional[str] = None
@@ -171,14 +180,33 @@ class ModelConfig:
             names += [f"default-{m}" for m in self.modalities()]
         return names
 
+    def modal_scale(self, modal: str) -> float:
+        """alpha/r for one modality, honoring merge-CLI stamps (see
+        modal_lora_params).  Raises on a stamped rank != lora_r."""
+        stamped = self.modal_lora_params.get(modal, {})
+        r = stamped.get("r", self.lora_r)
+        alpha = stamped.get("alpha", self.lora_alpha)
+        if r != self.lora_r:
+            raise ValueError(
+                f"composed checkpoint stamps {modal}_lora_r={r} but the "
+                f"runtime rank is lora_r={self.lora_r}; rank-heterogeneous "
+                "compositions are not representable (the reference would "
+                "silently drop these adapter weights)")
+        return alpha / r
+
     def adapter_scales(self) -> np.ndarray:
         """Per-adapter LoRA scale alpha/r, with reset coefficients folded in
-        (reference: multimodal_llama.py:99-103)."""
+        (reference: multimodal_llama.py:99-103) and per-modal merge stamps
+        honored (modal_scale)."""
         base = self.lora_alpha / self.lora_r
         reset = self.reset_scaling()
         scales = []
         for name in self.adapter_names():
-            scales.append(base * reset.get(name, 1.0))
+            modal = name[len("default-"):] if name.startswith("default-") \
+                else name
+            s = self.modal_scale(modal) if modal in self.modalities() \
+                else base
+            scales.append(s * reset.get(name, 1.0))
         return np.asarray(scales, dtype=np.float32)
 
     def routing_table(self) -> np.ndarray:
@@ -240,6 +268,9 @@ class ModelConfig:
             d[f"local_{m}_prefix_tokens"] = v
         for m, v in d.pop("local_modal_suffix_tokens").items():
             d[f"local_{m}_suffix_tokens"] = v
+        for m, stamped in d.pop("modal_lora_params").items():
+            for key, v in stamped.items():
+                d[f"{m}_lora_{key}"] = v
         # Only serialize per-modality keys for modalities that are present —
         # the reference's config.json omits attributes that were never set,
         # and the merge CLI's truthy union would otherwise let a default
@@ -267,7 +298,14 @@ class ModelConfig:
         known = {f.name for f in dataclasses.fields(cls)}
         prefix_overrides: Dict[str, int] = {}
         suffix_overrides: Dict[str, int] = {}
+        modal_lora: Dict[str, Dict[str, int]] = {}
         for key in list(d.keys()):
+            m = re.match(r"^(vision|audio|video|point)_lora_(r|alpha)$", key)
+            if m:
+                v = d.pop(key)
+                if v is not None:
+                    modal_lora.setdefault(m.group(1), {})[m.group(2)] = v
+                continue
             m = re.match(r"^local_(\w+)_prefix_tokens$", key)
             if m and m.group(1) != "modal":
                 v = d.pop(key)
@@ -284,6 +322,7 @@ class ModelConfig:
                 d.pop(key)
         d["local_modal_prefix_tokens"] = prefix_overrides
         d["local_modal_suffix_tokens"] = suffix_overrides
+        d["modal_lora_params"] = modal_lora
         return cls(**d)
 
     def save(self, path: str) -> None:

@@ -96,7 +96,18 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--max-new-tokens", type=int, default=128)
+    parser.add_argument(
+        "--protocol", type=str, default=None, choices=["benchmark"],
+        help="'benchmark' pins the shell-harness eval protocol — "
+             "--conv-mode vicuna_v1 --temperature 0 (greedy), exactly what "
+             "avqa.sh/MCUB-*.sh/music_avqa_*.sh pass (reference: "
+             "scripts/model_composition/test/avqa.sh:49-50); a bare CLI "
+             "run with argparse defaults would NOT reproduce the paper "
+             "protocol")
     args = parser.parse_args()
+    if args.protocol == "benchmark":
+        args.conv_mode = "vicuna_v1"
+        args.temperature = 0.0
     if args.model_base in ("", "None"):
         args.model_base = None
     eval_model(args)

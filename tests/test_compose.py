@@ -219,3 +219,34 @@ def test_state_io_roundtrip_formats(tmp_path):
         save_state(sd, p)
         back = load_state(p)
         np.testing.assert_allclose(back["w"], sd["w"])
+
+
+def test_modal_lora_stamps_honored_in_scales():
+    """The merge CLI stamps {modal}_lora_{r,alpha} into config.json; the
+    runtime honors the per-modal alpha/r scale (the reference drops the
+    stamps and mis-scales heterogeneous-alpha compositions) and rejects a
+    stamped rank it cannot represent."""
+    import numpy as np
+    import pytest
+    from modelcompose_tpu.config import ModelConfig, ROUTE_CLASS_INDEX
+
+    d = ModelConfig(lora_strategy="modal+language", lora_r=4, lora_alpha=8,
+                    mm_vision_encoder="x", mm_audio_encoder="y").to_dict()
+    d["vision_lora_r"] = 4
+    d["vision_lora_alpha"] = 16  # heterogeneous alpha
+    d["audio_lora_r"] = 4
+    d["audio_lora_alpha"] = 8
+    cfg = ModelConfig.from_dict(d)
+    table = cfg.routing_table()
+    names = cfg.adapter_names()
+    assert table[ROUTE_CLASS_INDEX["vision"],
+                 names.index("vision")] == pytest.approx(16 / 4)
+    assert table[ROUTE_CLASS_INDEX["audio"],
+                 names.index("audio")] == pytest.approx(8 / 4)
+    # roundtrips through config.json
+    cfg2 = ModelConfig.from_dict(cfg.to_dict())
+    assert cfg2.modal_lora_params == cfg.modal_lora_params
+    # heterogeneous RANK is not representable -> loud error
+    d["vision_lora_r"] = 8
+    with pytest.raises(ValueError, match="rank-heterogeneous"):
+        ModelConfig.from_dict(d).routing_table()
