@@ -121,7 +121,12 @@ def build_modal_encoders(cfg: ModelConfig, rng=None) -> Dict[str, Any]:
         spec = cfg.encoder_spec(modal)
         rng, sub = jax.random.split(rng)
         if modal == "vision":
-            encoders[modal] = ClipVisionTower(spec, cfg, rng=sub)
+            if "eva" in spec.lower():
+                # reference dispatch rule: clip_encoder.py:22
+                from .vision_eva import EvaVisionTower
+                encoders[modal] = EvaVisionTower(spec, cfg, rng=sub)
+            else:
+                encoders[modal] = ClipVisionTower(spec, cfg, rng=sub)
         elif modal == "audio":
             from .audio_beats import BeatsAudioTower
             encoders[modal] = BeatsAudioTower(spec, cfg, rng=sub)

@@ -304,3 +304,49 @@ def load_reference_llama():
     mm.MultimodalLlamaModel._prepare_decoder_attention_mask = \
         _prepare_decoder_attention_mask
     return mm
+
+
+def _shim_timm():
+    """eva_vit_model needs three real timm helpers (to_2tuple, drop_path,
+    trunc_normal_) that the MagicMock auto-stub cannot play; pre-seed
+    sys.modules with a minimal real implementation (sys.modules wins over
+    the meta-path finder)."""
+    import torch
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def drop_path(x, drop_prob=0.0, training=False, scale_by_keep=True):
+        return x  # oracle runs eval-mode only
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(mean + a * std, mean + b * std)
+        return tensor
+
+    layers = types.ModuleType("timm.models.layers")
+    layers.to_2tuple = to_2tuple
+    layers.drop_path = drop_path
+    layers.trunc_normal_ = trunc_normal_
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    timm = types.ModuleType("timm")
+    timm.models = models
+    timm.layers = layers
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.layers", layers),
+                      ("timm.layers", layers)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None,
+                                                      is_package=True)
+        mod.__path__ = []
+        sys.modules[name] = mod
+
+
+def load_reference_eva():
+    """Return the reference's EVA ViT module (eva_clip/eva_vit_model.py)
+    with real timm helpers shimmed in."""
+    _shim_timm()
+    load_reference_arch()
+    import modelcompose.model.multimodal_encoder.eva_clip.eva_vit_model \
+        as eva
+    return eva
