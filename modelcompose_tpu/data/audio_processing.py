@@ -60,11 +60,13 @@ def kaldi_fbank(waveform: np.ndarray, num_mel_bins: int = 128,
                 frame_shift_ms: float = 10.0,
                 preemphasis: float = 0.97,
                 remove_dc_offset: bool = True,
+                window_type: str = "povey",
                 use_native: bool = True) -> np.ndarray:
     """waveform: [N] float (kaldi scale, i.e. x * 2**15) -> [T, bins]
     log-mel features.  Dispatches to the C++ library (native/mcdata.cc)
-    when built; numpy otherwise."""
-    if use_native:
+    when built; numpy otherwise.  window_type: 'povey' (BEATs) or
+    'hanning' (ImageBind, reference: data/data.py:30-40)."""
+    if use_native and window_type == "povey":
         from ..utils.native import fbank_native
         out = fbank_native(waveform, num_mel_bins, float(sample_frequency),
                            frame_length_ms, frame_shift_ms, preemphasis,
@@ -85,9 +87,9 @@ def kaldi_fbank(waveform: np.ndarray, num_mel_bins: int = 128,
     if preemphasis:
         shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - preemphasis * shifted
-    # povey window
     m = np.arange(win)
-    window = (0.5 - 0.5 * np.cos(2 * np.pi * m / (win - 1))) ** 0.85
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * m / (win - 1))
+    window = hann ** 0.85 if window_type == "povey" else hann
     frames = frames * window
 
     fft_size = 1 << (win - 1).bit_length()  # round up to power of two: 512

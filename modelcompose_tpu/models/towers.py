@@ -128,8 +128,13 @@ def build_modal_encoders(cfg: ModelConfig, rng=None) -> Dict[str, Any]:
             else:
                 encoders[modal] = ClipVisionTower(spec, cfg, rng=sub)
         elif modal == "audio":
-            from .audio_beats import BeatsAudioTower
-            encoders[modal] = BeatsAudioTower(spec, cfg, rng=sub)
+            if "VideoLLaMA" in spec or "imagebind" in spec.lower():
+                # reference dispatch rule: builder.py:92-95
+                from .audio_imagebind import ImageBindAudioTower
+                encoders[modal] = ImageBindAudioTower(spec, cfg, rng=sub)
+            else:
+                from .audio_beats import BeatsAudioTower
+                encoders[modal] = BeatsAudioTower(spec, cfg, rng=sub)
         elif modal == "video":
             from .video_languagebind import LanguageBindVideoTower
             encoders[modal] = LanguageBindVideoTower(spec, cfg, rng=sub)
