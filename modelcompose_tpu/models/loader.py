@@ -71,9 +71,18 @@ def load_tokenizer(model_base: str):
 
 def load_pretrained_model(model_path: str, model_base: Optional[str],
                           model_name: Optional[str] = None,
-                          load_tokenizer_fn=None):
+                          load_tokenizer_fn=None,
+                          load_8bit: bool = False,
+                          fold_decode_dense: bool = False):
     """'multimodal' checkpoints need model_base (reference rule:
-    README.md:96 — basename must contain 'multimodal')."""
+    README.md:96 — basename must contain 'multimodal').
+
+    load_8bit quantizes the backbone weight-only int8 AFTER the adapter
+    overlay (the role bitsandbytes' load_in_8bit plays in the reference,
+    reference: model/builder.py:27-39 — here per-output-channel symmetric
+    so weights stream from HBM as int8).  fold_decode_dense additionally
+    folds the default-route adapter mix into W and rebases the routing
+    table (ops/routed_lora.fold_dense) — the production serving setup."""
     model_name = model_name or os.path.basename(model_path.rstrip("/"))
     if "multimodal" not in model_name.lower():
         raise ValueError(
@@ -116,6 +125,14 @@ def load_pretrained_model(model_path: str, model_base: Optional[str],
                 encoders[modal].hidden_size, cfg.hidden_size)
 
     model = MultimodalLM(cfg, params, encoders, projector_params)
+    if load_8bit:
+        from ..ops.quant import quantize_backbone
+        model.params = quantize_backbone(model.params)
+    if fold_decode_dense:
+        from ..ops.routed_lora import fold_dense
+        folded, table = fold_dense(model.params, model.routing_table)
+        model.params = folded
+        model.routing_table = np.asarray(table)
     if load_tokenizer_fn is None:
         load_tokenizer_fn = load_tokenizer  # late-bound for test injection
     tokenizer = load_tokenizer_fn(model_base) if model_base else None

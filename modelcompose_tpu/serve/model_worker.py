@@ -276,10 +276,25 @@ def main():
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--load-8bit", action="store_true",
+                        help="weight-only int8 backbone (reference "
+                             "builder.py load_in_8bit role)")
+    parser.add_argument("--fold-decode", action="store_true",
+                        help="dense-fold the default adapter mix into W "
+                             "(production serving setup)")
     args = parser.parse_args()
+    loader = None
+    if args.load_8bit or args.fold_decode:
+        import functools
+
+        from ..models.loader import load_pretrained_model
+        loader = functools.partial(load_pretrained_model,
+                                   load_8bit=args.load_8bit,
+                                   fold_decode_dense=args.fold_decode)
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_path, args.model_base, args.model_name,
-                         args.limit_model_concurrency, args.no_register)
+                         args.limit_model_concurrency, args.no_register,
+                         loader=loader)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

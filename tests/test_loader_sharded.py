@@ -173,3 +173,26 @@ def test_mm_projector_bin_fallback(tmp_path):
     got = np.asarray(model.projectors["vision"]["layers"][0]["w"])
     np.testing.assert_allclose(
         got, proj["model.modal_projectors.vision.0.weight"].T, atol=1e-6)
+
+
+def test_load_8bit_and_fold_decode(tmp_path):
+    """Reference builder's load_8bit role + the production dense fold:
+    backbone weights load as int8 dicts, routing table rebases (default
+    row zero), and generation still runs end-to-end."""
+    base = tmp_path / "vicuna-tiny"
+    ckpt = tmp_path / "multimodal-tiny"
+    _write_sharded(_base_state(), str(base), "bin")
+    _write_adapter(str(ckpt))
+
+    _, model, _, _ = load_pretrained_model(
+        str(ckpt), str(base), "multimodal-tiny",
+        load_tokenizer_fn=lambda p: None,
+        load_8bit=True, fold_decode_dense=True)
+    w = model.params["layers"]["attn"]["q"]["w"]
+    assert isinstance(w, dict) and w["q"].dtype == np.int8
+    assert np.allclose(np.asarray(model.routing_table)[0], 0.0)
+    ids = np.array([1, 5, MODAL_TOKEN_INDEXES["vision"], 7])
+    out = model.generate([ids], {"vision": np.zeros((1, 28, 28, 3),
+                                                    np.float32)},
+                         max_new_tokens=3)
+    assert len(out[0]) <= 3
