@@ -162,6 +162,48 @@ def preprocess_plain(sources, tokenizer) -> Dict:
     return dict(input_ids=input_ids, labels=targets)
 
 
+def preprocess_default(sources, tokenizer, has_image: bool = False) -> Dict:
+    """The v0 '### ' signal fallback (reference: data/utils.py:17-45,
+    346-371): header + '### {role}: {text}\\n' per round + trailing '### ';
+    header masked, human rounds masked from offset +2."""
+    conv = conversation_lib.default_conversation
+    begin, end = "### ", "\n"
+    conversations, rendered = [], []
+    for source in sources:
+        header = f"{conv.system}\n\n"
+        conversation = header
+        vals = []
+        for sentence in source:
+            frm = sentence["from"].lower()
+            from_str = conv.roles[0] if frm == "human" else \
+                (conv.roles[1] if frm == "gpt" else "unknown")
+            val = begin + from_str + ": " + sentence["value"] + end
+            vals.append(val)
+            conversation += val
+        conversations.append(conversation + begin)
+        rendered.append((header, vals))
+
+    def tok_len(text):
+        if has_image:
+            return len(tokenizer_modal_token(text, tokenizer))
+        ids = np.asarray(tokenizer(text).input_ids)
+        if tokenizer.pad_token_id is not None:
+            return int((ids != tokenizer.pad_token_id).sum())
+        return len(ids)
+
+    input_ids = _tokenize_batch(conversations, tokenizer, has_image)
+    targets = [ids.copy() for ids in input_ids]
+    for target, (header, vals), source in zip(targets, rendered, sources):
+        lens = [tok_len(t) for t in [header] + vals]
+        cur = lens[0]
+        target[:cur] = IGNORE_INDEX
+        for tl, sentence in zip(lens[1:], source):
+            if sentence["from"] == "human":
+                target[cur + 2:cur + tl] = IGNORE_INDEX
+            cur += tl
+    return dict(input_ids=input_ids, labels=targets)
+
+
 def preprocess(sources: Sequence[List[dict]], tokenizer,
                has_image: bool = False) -> Dict:
     conv = conversation_lib.default_conversation
@@ -173,6 +215,6 @@ def preprocess(sources: Sequence[List[dict]], tokenizer,
         return preprocess_v1(sources, tokenizer, has_image=has_image)
     if conv.version == "mpt":
         return preprocess_mpt(sources, tokenizer)
-    raise NotImplementedError(
-        f"preprocess for template {conv.version!r}/{conv.sep_style} "
-        "is not implemented")
+    # v0 / default templates fall through to the '### ' signal path
+    # exactly like the reference (data/utils.py:346-371)
+    return preprocess_default(sources, tokenizer, has_image=has_image)

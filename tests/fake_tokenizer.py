@@ -19,19 +19,26 @@ class FakeLlamaTokenizer:
     pad_token_id = 0
     model_max_length = 2048
 
-    def __call__(self, text):
+    def __call__(self, text, return_tensors=None, padding=None,
+                 max_length=None, truncation=None):
         ids = [self.bos_token_id]
         for part in re.split(r"(</s>)", text):
             if part == "</s>":
                 ids.append(self.eos_token_id)
             elif part:
                 ids.extend(3 + (hash(w) % 200) for w in part.split())
+        if truncation and max_length:
+            ids = ids[:max_length]
 
         class R:
             pass
 
         r = R()
-        r.input_ids = ids
+        if return_tensors == "pt":  # HF _tokenize_fn-style call
+            import torch
+            r.input_ids = torch.tensor([ids])
+        else:
+            r.input_ids = ids
         return r
 
     def decode(self, ids, skip_special_tokens=True):

@@ -230,6 +230,40 @@ def test_preprocess_mpt_identical(ref):
                                   theirs["labels"][0].numpy())
 
 
+def test_preprocess_default_v0_identical(ref):
+    """The '### ' signal fallback (reference data/utils.py:346-371), both
+    with and without modal tokens.  The reference mutates its sources in
+    place, so each side gets its own deep copy."""
+    import copy
+
+    import modelcompose.conversation as ref_conv_lib
+    import modelcompose.data.utils as ref_utils
+
+    from modelcompose_tpu.data import conversation as conversation_lib
+    from modelcompose_tpu.data.conversation import conv_templates
+    from modelcompose_tpu.data.preprocess import preprocess
+
+    tok = FakeLlamaTokenizer()
+    sources = [[{"from": "human", "value": "<image>\nwhat is shown"},
+                {"from": "gpt", "value": "a small cat"},
+                {"from": "human", "value": "and sound?"},
+                {"from": "gpt", "value": "meowing"}]]
+
+    conversation_lib.default_conversation = conv_templates["v0"]
+    ref_conv_lib.default_conversation = ref_conv_lib.conv_templates["v0"]
+
+    for has_image in (True, False):
+        ours = preprocess(copy.deepcopy(sources), tok, has_image=has_image)
+        theirs = ref_utils.preprocess(copy.deepcopy(sources), tok,
+                                      has_image=has_image)
+        np.testing.assert_array_equal(ours["input_ids"][0],
+                                      theirs["input_ids"][0].numpy(),
+                                      err_msg=f"has_image={has_image}")
+        np.testing.assert_array_equal(ours["labels"][0],
+                                      theirs["labels"][0].numpy(),
+                                      err_msg=f"has_image={has_image}")
+
+
 def test_preprocess_plain_identical(ref):
     import modelcompose.conversation as ref_conv_lib
     import modelcompose.data.utils as ref_utils
