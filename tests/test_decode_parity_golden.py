@@ -33,6 +33,8 @@ R, ALPHA = 4, 8
 PRE, SUF = 2, 2
 E_VIS, T_VIS = 8, 3     # stub vision tower: feature dim / tokens per image
 E_AUD, T_AUD = 8, 4
+E_VID, F_VID, N_VID = 8, 2, 3   # video: frames x tokens-per-frame
+E_PT, T_PT = 8, 5
 IMG = MODAL_TOKEN_INDEXES["vision"]
 AUD = MODAL_TOKEN_INDEXES["audio"]
 STEPS = 8
@@ -52,6 +54,7 @@ def _build_reference_model(reset_scaling=None):
         lora_strategy="modal+language", lora_r=R, lora_alpha=ALPHA,
         lora_dropout=0.0, local_prefix_tokens=PRE, local_suffix_tokens=SUF,
         mm_vision_encoder="test:8x1", mm_audio_encoder="test-audio",
+        mm_video_encoder="test-video", mm_point_encoder="test-point",
         reset_scaling_weights=reset_scaling,
         pad_token_id=0, bos_token_id=1, eos_token_id=2)
     torch.manual_seed(0)
@@ -78,13 +81,35 @@ def _build_reference_model(reset_scaling=None):
             return {"audio_inputs": torch.zeros(1, T_AUD, E_AUD),
                     "audio_padding_mask": torch.zeros(1, T_AUD)}
 
+    class StubVideo(nn.Module):
+        hidden_size = E_VID
+
+        def forward(self, x):
+            return x  # raw inputs ARE [b, t, n, d] frame features
+
+        @property
+        def dummy_inputs(self):
+            return torch.zeros(1, F_VID, N_VID, E_VID)
+
+    class StubPoint(nn.Module):
+        hidden_size = E_PT
+
+        def forward(self, x):
+            return x
+
+        @property
+        def dummy_inputs(self):
+            return torch.zeros(1, T_PT, E_PT)
+
     def mk_proj(e):
         return nn.Sequential(nn.Linear(e, H), nn.GELU(), nn.Linear(H, H))
 
     model.model.modal_encoders = nn.ModuleDict(
-        {"vision": StubVision(), "audio": StubAudio()})
+        {"vision": StubVision(), "audio": StubAudio(),
+         "video": StubVideo(), "point": StubPoint()})
     model.model.modal_projectors = nn.ModuleDict(
-        {"vision": mk_proj(E_VIS), "audio": mk_proj(E_AUD)})
+        {"vision": mk_proj(E_VIS), "audio": mk_proj(E_AUD),
+         "video": mk_proj(E_VID), "point": mk_proj(E_PT)})
 
     # Reference config.json stamps (what initialize_multimodal_modules
     # writes, reference: multimodal_arch.py:90-115)
@@ -92,6 +117,10 @@ def _build_reference_model(reset_scaling=None):
     cfg.mm_projector_type = "mlp2x_gelu"
     cfg.mm_audio_hidden_size = E_AUD
     cfg.mm_audio_projector_type = "mlp2x_gelu"
+    cfg.mm_video_hidden_size = E_VID
+    cfg.mm_video_projector_type = "mlp2x_gelu"
+    cfg.mm_point_hidden_size = E_PT
+    cfg.mm_point_projector_type = "mlp2x_gelu"
 
     # Deterministic random weights everywhere (LoRA B inits to zero —
     # randomize so adapters actually steer the logits).
@@ -160,9 +189,11 @@ def _reference_greedy(model, ids, modal_inputs, steps):
 
 
 class _OurStubTower:
-    def __init__(self, e, t):
+    def __init__(self, e, t, num_frames=None, tokens_per_frame=None):
         self.hidden_size = e
         self.feature_len = t
+        self.num_frames = num_frames          # video protocol
+        self.tokens_per_frame = tokens_per_frame
         self.modal_processor = None
 
     def encode(self, x=None, audio_inputs=None, audio_padding_mask=None):
@@ -174,7 +205,11 @@ def _load_ours(base_dir, ckpt_dir, monkeypatch):
 
     def fake_towers(cfg, rng=None):
         return {"vision": _OurStubTower(E_VIS, T_VIS),
-                "audio": _OurStubTower(E_AUD, T_AUD)}
+                "audio": _OurStubTower(E_AUD, T_AUD),
+                "video": _OurStubTower(E_VID, F_VID * N_VID,
+                                       num_frames=F_VID,
+                                       tokens_per_frame=N_VID),
+                "point": _OurStubTower(E_PT, T_PT)}
 
     monkeypatch.setattr(loader_mod, "build_modal_encoders", fake_towers)
     _, model, _, _ = loader_mod.load_pretrained_model(
@@ -183,16 +218,25 @@ def _load_ours(base_dir, ckpt_dir, monkeypatch):
     return model
 
 
+VID = MODAL_TOKEN_INDEXES["video"]
+PT = MODAL_TOKEN_INDEXES["point"]
+
+
 def _prompts(rs):
-    """Three mixed-modal prompts (features shared by both sides)."""
+    """Mixed-modal prompts (features shared by both sides), including a
+    full 4-modal MCUB-style case."""
     vis = rs.randn(2, T_VIS, E_VIS).astype(np.float32)
     aud = rs.randn(1, T_AUD, E_AUD).astype(np.float32)
+    vid = rs.randn(1, F_VID, N_VID, E_VID).astype(np.float32)
+    pt = rs.randn(1, T_PT, E_PT).astype(np.float32)
     cases = [
-        # (ids, modal feats used: {"vision": [idx...], "audio": [idx...]})
         (np.array([1, 5, IMG, 7, 8, 9]), {"vision": vis[:1]}),
         (np.array([1, AUD, 6, IMG, 10]), {"vision": vis[1:2],
                                           "audio": aud}),
         (np.array([1, 11, 12, 13, 14]), {"vision": vis[:1]}),  # text-only
+        # 4-modal MCUB-style prompt
+        (np.array([1, IMG, 15, AUD, 16, VID, 17, PT, 18]),
+         {"vision": vis[:1], "audio": aud, "video": vid, "point": pt}),
     ]
     return cases
 
@@ -206,12 +250,13 @@ def _run_parity(reset_scaling, monkeypatch, tmp_path):
     rs = np.random.RandomState(3)
     for ids, feats in _prompts(rs):
         ref_inputs = {}
-        if "vision" in feats:
-            ref_inputs["vision"] = torch.from_numpy(feats["vision"])
-        if "audio" in feats:
-            ref_inputs["audio"] = {
-                "audio_inputs": torch.from_numpy(feats["audio"]),
-                "audio_padding_mask": torch.zeros(1, T_AUD)}
+        for m, f in feats.items():
+            if m == "audio":
+                ref_inputs[m] = {
+                    "audio_inputs": torch.from_numpy(f),
+                    "audio_padding_mask": torch.zeros(1, T_AUD)}
+            else:
+                ref_inputs[m] = torch.from_numpy(f)
         ref_tokens = _reference_greedy(ref_model, ids, ref_inputs, STEPS)
 
         our_inputs = {m: f for m, f in feats.items()
@@ -233,6 +278,8 @@ def test_greedy_tokens_identical_plain(monkeypatch, tmp_path):
 def test_greedy_tokens_identical_online_merge_reset(monkeypatch, tmp_path):
     """Composed checkpoint: online-merge-reset coefficients fan the decode
     'default' route over default-{modal} adapters (reference:
-    multimodal_llama.py:92-107, 130-148)."""
-    _run_parity("default-audio=0.5,default-vision=0.25",
+    multimodal_llama.py:92-107, 130-148) — 4-modal equal coefficients,
+    the README's operating point."""
+    _run_parity("default-audio=0.25,default-vision=0.25,"
+                "default-video=0.25,default-point=0.25",
                 monkeypatch, tmp_path)
