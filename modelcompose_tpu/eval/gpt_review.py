@@ -80,12 +80,60 @@ def review_pairs(questions, answers1, answers2, rule: dict,
                "review": review, "scores": parse_score(review)}
 
 
+def review_with_context(questions, answers1, answers2, rule_dict, contexts,
+                        judge_fn, mode: str = "bench", done: int = 0):
+    """The bench/visual review flow (reference: eval_gpt_review_bench.py:
+    55-120, eval_gpt_review_visual.py): per-question category rule lookup,
+    image caption (+ bbox for 'visual') context block, resumable records
+    with the reference's jsonl schema."""
+    image_to_context = {c["image"]: c for c in contexts}
+    for idx, (q, a1, a2) in enumerate(zip(questions, answers1, answers2)):
+        if idx < done:  # resume: already reviewed
+            continue
+        inst = image_to_context[q["image"]]
+        if mode == "visual":
+            cap_str = "\n".join(inst["captions"])
+            box_str = "\n".join(f'{i["category"]}: {i["bbox"]}'
+                                for i in inst["instances"])
+            context_block = f"[Context]\n{cap_str}\n\n{box_str}\n\n"
+            category = q["category"]
+        else:
+            cap = inst["caption"]
+            cap_str = "\n".join(cap) if isinstance(cap, list) else cap
+            context_block = f"[Context]\n{cap_str}\n\n"
+            category = "llava_bench_" + q["category"]
+        if category not in rule_dict:
+            raise KeyError(
+                f"Visual QA category not found in rule file: {category}.")
+        rule = rule_dict[category]
+        role = rule["role"]
+        content = (context_block
+                   + f'[Question]\n{q["text"]}\n\n'
+                   f'[{role} 1]\n{a1["text"]}\n\n[End of {role} 1]\n\n'
+                   f'[{role} 2]\n{a2["text"]}\n\n[End of {role} 2]\n\n'
+                   f'[System]\n{rule["prompt"]}\n\n')
+        review = call_with_backoff(
+            lambda c=content: judge_fn(role, c))
+        yield {"id": idx + 1,
+               "question_id": q["question_id"],
+               "answer1_id": a1.get("answer_id", a1.get("question_id")),
+               "answer2_id": a2.get("answer_id"),
+               "category": category,
+               "content": review,
+               "tuple": parse_score(review)}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--question", required=True)
     parser.add_argument("--answer-list", nargs=2, required=True)
     parser.add_argument("--rule", required=True)
     parser.add_argument("--output", required=True)
+    parser.add_argument("--context", default=None,
+                        help="image-context jsonl; enables the bench/"
+                             "visual category-rule flow")
+    parser.add_argument("--mode", choices=["pairs", "bench", "visual"],
+                        default="pairs")
     parser.add_argument("--model", default="gpt-4")
     parser.add_argument("--max-tokens", type=int, default=1024)
     args = parser.parse_args()
@@ -98,8 +146,21 @@ def main():
     def judge(system, content):
         return default_judge(system, content, args.model, args.max_tokens)
 
-    with open(args.output, "w") as f:
-        for rec in review_pairs(questions, a1, a2, rule, judge):
+    if args.mode == "pairs":
+        with open(args.output, "w") as f:
+            for rec in review_pairs(questions, a1, a2, rule, judge):
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+        return
+    # bench/visual: resumable append (reference: eval_gpt_review_bench.py)
+    import os
+    done = 0
+    if os.path.isfile(args.output):
+        done = sum(1 for _ in open(args.output))
+    contexts = [json.loads(l) for l in open(args.context)]
+    with open(args.output, "a") as f:
+        for rec in review_with_context(questions, a1, a2, rule, contexts,
+                                       judge, mode=args.mode, done=done):
             f.write(json.dumps(rec) + "\n")
             f.flush()
 
