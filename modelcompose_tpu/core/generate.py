@@ -136,6 +136,12 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
         from ..ops.routed_lora import fold_dense
         params, routing_table = fold_dense(params, routing_table)
         decode_params, decode_table = params, None
+    elif routing_table is not None and \
+            not np.any(np.asarray(routing_table)[0]):
+        # Already-folded params (loader --fold-decode): the default row is
+        # all-zero, so decode skips the adapter branch instead of streaming
+        # every LoRA stack multiplied by zero.
+        decode_table = None
 
     logits, cache = _prefill(params, cfg, inputs_embeds, route_ids,
                              routing_table, segment_ids, lengths, cache_len,

@@ -269,7 +269,9 @@ class PointTaskEvaluator:
 
     # -- one record ----------------------------------------------------
     def _judge(self, content: str):
-        judge = self.judge_fn or default_judge_fn(self.model_type)
+        if self.judge_fn is None:  # build the client once, not per record
+            self.judge_fn = default_judge_fn(self.model_type)
+        judge = self.judge_fn
         messages = [{"role": "user", "content": content}]
         resp = call_with_backoff(lambda: judge(messages), max_retries=40)
         usage = resp.get("usage", {})

@@ -172,8 +172,11 @@ def render_webpage(data: Dict, output_dir: str,
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "data.json"), "w") as f:
         json.dump(data, f, indent=2)
-    page = _PAGE.format(data_json=json.dumps(data),
-                        ours_key_json=json.dumps(ours_key))
+    # escape '</' so model/judge text containing '</script>' cannot
+    # terminate the inline script or inject HTML
+    page = _PAGE.format(
+        data_json=json.dumps(data).replace("</", "<\\/"),
+        ours_key_json=json.dumps(ours_key))
     index = os.path.join(output_dir, "index.html")
     with open(index, "w") as f:
         f.write(page)

@@ -129,8 +129,14 @@ def load_pretrained_model(model_path: str, model_base: Optional[str],
         from ..ops.quant import quantize_backbone
         model.params = quantize_backbone(model.params)
     if fold_decode_dense:
+        import jax
+
         from ..ops.routed_lora import fold_dense
-        folded, table = fold_dense(model.params, model.routing_table)
+        # jit + donation so old/new weight buffers alias — the eager fold
+        # would hold both trees plus fp32 transients and exceed HBM at 7B
+        # (the loader owns model.params here, so donating is safe)
+        folded, table = jax.jit(fold_dense, donate_argnums=(0,))(
+            model.params, jax.numpy.asarray(model.routing_table))
         model.params = folded
         model.routing_table = np.asarray(table)
     if load_tokenizer_fn is None:

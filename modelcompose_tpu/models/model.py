@@ -159,6 +159,11 @@ class MultimodalLM:
         embeds, plan = self.prepare_batch(input_ids, modal_inputs,
                                           bucket_len=bucket_len)
         table = jnp.asarray(self.routing_table)
+        # A dense-folded model (loader --fold-decode) has an all-zero
+        # default row: decode must then skip the adapter branch entirely
+        # instead of streaming every LoRA stack multiplied by zero.
+        decode_table = table if np.any(np.asarray(self.routing_table)[0]) \
+            else None
         route_ids = jnp.asarray(plan.route_ids) \
             if self.cfg.routing_active() else None
         lengths = jnp.asarray(plan.lengths, jnp.int32)
@@ -197,7 +202,7 @@ class MultimodalLM:
                 return
             logits, cache, kv_lens = _decode_step(
                 self.params, self.cfg, cache, jnp.asarray(tokens), kv_lens,
-                table)
+                decode_table)
         for b in range(B):
             if not done[b]:
                 emit(b, ("done", None))

@@ -216,7 +216,14 @@ class ModelWorker:
             while True:
                 kind, payload = events.get()
                 if kind == "error":
-                    raise payload
+                    # report in-band like the reference's wire format
+                    # (error_code != 0 terminal chunk) instead of aborting
+                    # the HTTP stream mid-generation
+                    logger.error(f"generation error: {payload}")
+                    yield json.dumps(
+                        {"text": f"{prompt} [SERVER ERROR: {payload}]",
+                         "error_code": 1}).encode() + b"\0"
+                    return
                 if kind == "done":
                     break
                 tokens.append(payload)

@@ -290,6 +290,15 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     params = shard_params(model.params, mesh)
     tower_train = (tc.mm_vision_tower_lr is not None
                    and "vision" in model.encoders)
+    if tower_train:
+        from ..models.towers import ClipVisionTower
+        if not isinstance(model.encoders["vision"], ClipVisionTower):
+            # layerwise decay walks the CLIP param layout (the reference
+            # walks vision_model.encoder.layers the same way,
+            # llava_trainer.py:98-132); other towers are not supported
+            raise NotImplementedError(
+                "--mm_vision_tower_lr supports the CLIP vision tower only "
+                f"(got {type(model.encoders['vision']).__name__})")
     tower_params = {"vision": model.encoders["vision"].params} \
         if tower_train else None
     state = init_train_state(cfg, tc, params, model.projectors,
