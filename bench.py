@@ -127,7 +127,21 @@ def main():
                                  None, rng, steps, -1, 0.0)
         return np.asarray(tokens)  # D2H fetch = hard sync
 
-    run()  # compile warmup
+    # compile warmup — the axon remote-compile relay can drop connections
+    # ("Broken pipe") after long queues while the chip stays healthy, so
+    # retry the first (compiling) invocation
+    for attempt in range(3):
+        try:
+            run()
+            break
+        except Exception as e:  # noqa: BLE001 — relay transport errors
+            if attempt == 2 or "UNAVAILABLE" not in str(e) \
+                    and "Broken pipe" not in str(e):
+                raise
+            import sys
+            print(f"compile relay dropped ({e}); retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
     t_total0 = time.perf_counter()
     run()
     t_total = time.perf_counter() - t_total0  # prefill + decode, one sync
