@@ -1,0 +1,145 @@
+"""Legacy converter tooling: benchmark submission formats (reference:
+scripts/convert_*_for_{eval,submission}.py) and the llava->multimodal
+upgraders (reference: scripts/convert_llava_to_multimodal/)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from modelcompose_tpu.eval.convert_for_submission import (
+    convert_gqa, convert_mmbench, convert_mmvet, convert_vizwiz,
+    convert_vqav2, seed_accuracy)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_gqa_and_mmvet(tmp_path):
+    src = tmp_path / "a.jsonl"
+    _write_jsonl(src, [{"question_id": 7, "text": "A Dog."},
+                       {"question_id": 8, "text": "blue"}])
+    out = convert_gqa(str(src), str(tmp_path / "gqa.json"))
+    assert out == [{"questionId": 7, "prediction": "a dog"},
+                   {"questionId": 8, "prediction": "blue"}]
+    out = convert_mmvet(str(src), str(tmp_path / "mmvet.json"))
+    assert out == {"v1_7": "A Dog.", "v1_8": "blue"}
+
+
+def test_vizwiz_and_vqav2(tmp_path):
+    ann = tmp_path / "ann.jsonl"
+    res = tmp_path / "res.jsonl"
+    _write_jsonl(ann, [{"question_id": 1, "image": "i1.jpg"},
+                       {"question_id": 2, "image": "i2.jpg"}])
+    _write_jsonl(res, [{"question_id": 1, "text": "The Cat."},
+                       {"question_id": 2, "text": "Two"}])
+    out = convert_vizwiz(str(ann), str(res), str(tmp_path / "up.json"))
+    # EvalAI normalization applied (articles dropped, numbers digitized)
+    assert out == [{"image": "i1.jpg", "answer": "cat"},
+                   {"image": "i2.jpg", "answer": "2"}]
+
+    _write_jsonl(res, [{"question_id": 1, "text": "The Cat."}])  # 2 missing
+    out = convert_vqav2(str(ann), str(res), str(tmp_path / "up2.json"))
+    assert out == [{"question_id": 1, "answer": "cat"},
+                   {"question_id": 2, "answer": ""}]
+
+
+def test_seed_accuracy(tmp_path):
+    ann = tmp_path / "seed.json"
+    json.dump({"question_type": {"scene": 1, "instance": 2},
+               "questions": [
+                   {"question_id": "1", "data_type": "image",
+                    "question_type_id": 1, "answer": "A"},
+                   {"question_id": "2", "data_type": "image",
+                    "question_type_id": 1, "answer": "B"},
+                   {"question_id": "3", "data_type": "image",
+                    "question_type_id": 2, "answer": "C"},
+                   {"question_id": "4", "data_type": "video",
+                    "question_type_id": 2, "answer": "D"}]},
+              open(ann, "w"))
+    res = tmp_path / "res.jsonl"
+    _write_jsonl(res, [{"question_id": 1, "text": "A"},
+                       {"question_id": 2, "text": "X"},
+                       {"question_id": 3, "text": "C"}])
+    scores = seed_accuracy(str(ann), str(res), "image")
+    assert scores["per_type"] == {"scene": 50.0, "instance": 100.0}
+    assert scores["total"] == round(2 / 3 * 100, 2)
+
+
+def test_mmbench(tmp_path):
+    ann = tmp_path / "dev.tsv"
+    with open(ann, "w") as f:
+        f.write("index\tquestion\tA\tB\thint\tcategory\tsource\timage\t"
+                "comment\tl2-category\n")
+        f.write("10\tWhat?\topt a\topt b\th\tc\ts\timg\tcm\tl2\n")
+    rdir = tmp_path / "results"
+    rdir.mkdir()
+    _write_jsonl(rdir / "exp1.jsonl", [{"question_id": 10, "text": "A"}])
+    out_path = convert_mmbench(str(ann), str(rdir), str(tmp_path / "up"),
+                               "exp1")
+    rows = open(out_path).read().splitlines()
+    assert rows[0].split("\t") == ["index", "question", "A", "B",
+                                   "prediction"]
+    assert rows[1].split("\t") == ["10", "What?", "opt a", "opt b", "A"]
+
+
+def test_convert_llava_checkpoint(tmp_path):
+    """LoRA 'default' -> 'vision', mm_projector -> modal_projectors.vision,
+    adapter/non-lora split (reference: convert_checkpoint.py:48-88)."""
+    import torch
+
+    ckpt = tmp_path / "llava-lora"
+    ckpt.mkdir()
+    rs = np.random.RandomState(0)
+    state = {
+        "base_model.model.model.layers.0.self_attn.q_proj"
+        ".lora_A.default.weight": torch.from_numpy(rs.randn(4, 8)
+                                                   .astype(np.float32)),
+        "base_model.model.model.layers.0.self_attn.q_proj"
+        ".lora_B.default.weight": torch.from_numpy(rs.randn(8, 4)
+                                                   .astype(np.float32)),
+        "model.mm_projector.0.weight": torch.from_numpy(
+            rs.randn(8, 8).astype(np.float32)),
+        "prefix_tokens": torch.zeros(1, 2, 8),
+        "model.embed_tokens.weight": torch.zeros(4, 8),  # base: dropped
+    }
+    torch.save(state, ckpt / "pytorch_model.bin")
+    (ckpt / "config.json").write_text("{}")
+
+    from modelcompose_tpu.compose.convert_llava_checkpoint import \
+        convert_checkpoint
+    from modelcompose_tpu.compose.state_io import load_state
+
+    out = tmp_path / "multimodal-out"
+    stats = convert_checkpoint(str(ckpt), str(out))
+    assert stats == {"adapter_keys": 2, "non_lora_keys": 2}
+    adapter = load_state(str(out / "adapter_model.bin"))
+    assert "base_model.model.model.layers.0.self_attn.q_proj" \
+           ".lora_A.vision.weight" in adapter
+    non_lora = load_state(str(out / "non_lora_trainables.bin"))
+    assert "model.modal_projectors.vision.0.weight" in non_lora
+    assert "prefix_tokens.vision" in non_lora
+    assert (out / "config.json").exists()
+
+
+def test_convert_test_data_cli(tmp_path):
+    q = tmp_path / "llava.jsonl"
+    _write_jsonl(q, [{"question_id": 5, "image": "x.jpg",
+                      "text": "what?", "category": "conv"}])
+    out = tmp_path / "mm.json"
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "modelcompose_tpu.compose.convert_llava_checkpoint", "test-data",
+         "--input_path", str(q), "--input_image_path", str(tmp_path),
+         "--output_path", str(out)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-400:]
+    data = json.load(open(out))
+    assert data[0]["id"] == 5
+    assert data[0]["conversations"][0]["value"] == "<image>\nwhat?"
+    assert data[0]["modal_inputs"]["vision"][0].endswith("x.jpg")
+    assert data[0]["category"] == "conv"  # extra keys pass through
