@@ -143,3 +143,71 @@ def test_convert_test_data_cli(tmp_path):
     assert data[0]["conversations"][0]["value"] == "<image>\nwhat?"
     assert data[0]["modal_inputs"]["vision"][0].endswith("x.jpg")
     assert data[0]["category"] == "conv"  # extra keys pass through
+
+
+def test_merge_deltas_to_base(tmp_path):
+    """Weight-space NaiveMC merge of peft-era unimodal checkpoints
+    (reference: merge_image_audio_to_multimodal.py, intended behavior):
+    dense deltas averaged into the base, overlays renamed per-modal,
+    sharded HF output round-trips through our loader."""
+    import subprocess
+    import sys
+
+    rs = np.random.RandomState(0)
+    base = tmp_path / "base"
+    base.mkdir()
+    H = 8
+    base_w = {"model.layers.0.self_attn.q_proj.weight":
+              rs.randn(H, H).astype(np.float32),
+              "model.embed_tokens.weight":
+              rs.randn(16, H).astype(np.float32)}
+    from modelcompose_tpu.compose.state_io import save_state, load_state
+    save_state(base_w, str(base / "pytorch_model.bin"))
+    json.dump({"hidden_size": H}, open(base / "config.json", "w"))
+    (base / "tokenizer.model").write_text("tok")
+
+    def mk_ckpt(name, seed, modal_cfg):
+        d = tmp_path / name
+        d.mkdir()
+        r = np.random.RandomState(seed)
+        a = r.randn(2, H).astype(np.float32)
+        b = r.randn(H, 2).astype(np.float32)
+        save_state({"base_model.model.model.layers.0.self_attn.q_proj"
+                    ".lora_A.weight": a,
+                    "base_model.model.model.layers.0.self_attn.q_proj"
+                    ".lora_B.weight": b},
+                   str(d / "adapter_model.bin"))
+        save_state({"base_model.model.model.mm_projector.0.weight":
+                    r.randn(H, H).astype(np.float32)},
+                   str(d / "non_lora_trainables.bin"))
+        json.dump({"lora_alpha": 4, "r": 2},
+                  open(d / "adapter_config.json", "w"))
+        json.dump(modal_cfg, open(d / "config.json", "w"))
+        return str(d), (b @ a) * 2.0
+
+    v_dir, v_delta = mk_ckpt("vis", 1, {"mm_vision_encoder": "clip"})
+    a_dir, a_delta = mk_ckpt("aud", 2, {"mm_audio_encoder": "beats"})
+
+    out = tmp_path / "merged"
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "modelcompose_tpu.compose.merge_deltas_to_base", str(base),
+         "--checkpoint", f"vision={v_dir}", "--checkpoint", f"audio={a_dir}",
+         "--output_path", str(out)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+
+    from modelcompose_tpu.models.loader import load_hf_llama_dir
+    merged = load_hf_llama_dir(str(out))  # exercises the shard index too
+    want = base_w["model.layers.0.self_attn.q_proj.weight"] + \
+        (v_delta + a_delta) / 2
+    np.testing.assert_allclose(
+        merged["model.layers.0.self_attn.q_proj.weight"], want, rtol=1e-5)
+    # overlays renamed per modal; config unioned; provenance written
+    assert "model.modal_projectors.vision.0.weight" in merged
+    assert "model.modal_projectors.audio.0.weight" in merged
+    cfg = json.load(open(out / "config.json"))
+    assert cfg["mm_vision_encoder"] == "clip"
+    assert cfg["mm_audio_encoder"] == "beats"
+    assert json.load(open(out / "merge_info.json"))["vision"] == v_dir
+    assert (out / "tokenizer.model").exists()
