@@ -69,3 +69,21 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def check_multimodal_exist(input_path: str) -> int:
+    """Verify every modal_inputs media path in a multimodal dataset json
+    exists; prints offending records, returns the missing-file count
+    (reference: convert_llava_to_multimodal/check_multimodal_exist.py)."""
+    with open(input_path) as f:
+        data = json.load(f)
+    cnt = 0
+    for rec in data:
+        for modal in rec.get("modal_inputs", {}):
+            for path in rec["modal_inputs"][modal]:
+                if isinstance(path, str) and not os.path.exists(path):
+                    print(rec)
+                    cnt += 1
+    if cnt == 0:
+        print("All Clear!")
+    return cnt

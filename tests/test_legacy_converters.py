@@ -211,3 +211,18 @@ def test_merge_deltas_to_base(tmp_path):
     assert cfg["mm_audio_encoder"] == "beats"
     assert json.load(open(out / "merge_info.json"))["vision"] == v_dir
     assert (out / "tokenizer.model").exists()
+
+
+def test_check_multimodal_exist(tmp_path, capsys):
+    from modelcompose_tpu.data.convert_to_multimodal import \
+        check_multimodal_exist
+    media = tmp_path / "img.jpg"
+    media.write_text("x")
+    data = [{"id": 1, "modal_inputs": {"vision": [str(media)]}},
+            {"id": 2, "modal_inputs": {"audio": [str(tmp_path / "gone")]}}]
+    p = tmp_path / "data.json"
+    json.dump(data, open(p, "w"))
+    assert check_multimodal_exist(str(p)) == 1
+    json.dump(data[:1], open(p, "w"))
+    assert check_multimodal_exist(str(p)) == 0
+    assert "All Clear!" in capsys.readouterr().out
