@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from .llama import KVCache, forward, logits_from_hidden
+from .llama import KVCache, forward
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl",
                                               "kv_quant"))

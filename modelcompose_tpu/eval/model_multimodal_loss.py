@@ -12,10 +12,8 @@ Usage: python -m modelcompose_tpu.eval.model_multimodal_loss \
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
-import numpy as np
 
 from ..data import conversation as conversation_lib
 from ..data.conversation import conv_templates
