@@ -128,15 +128,34 @@ class MultimodalLM:
                  modal_inputs: Dict[str, Any],
                  max_new_tokens: int = 128, temperature: float = 0.0,
                  rng=None, bucket_len: Optional[int] = None,
-                 attn_impl: str = "auto") -> List[List[int]]:
+                 attn_impl: str = "auto",
+                 compact_adapters: bool = False) -> List[List[int]]:
         embeds, plan = self.prepare_batch(input_ids, modal_inputs,
                                           bucket_len=bucket_len)
         route_ids = plan.route_ids if self.cfg.routing_active() else None
+        params, table = self.params, self.routing_table
+        if compact_adapters and route_ids is not None:
+            params, table = self._compacted(np.unique(np.asarray(route_ids)))
         return generation.generate(
-            self.params, self.cfg, embeds, lengths=plan.lengths,
-            route_ids=route_ids, routing_table=self.routing_table,
+            params, self.cfg, embeds, lengths=plan.lengths,
+            route_ids=route_ids, routing_table=table,
             segment_ids=plan.segment_ids, max_new_tokens=max_new_tokens,
             temperature=temperature, rng=rng, attn_impl=attn_impl)
+
+    def _compacted(self, route_classes):
+        """Adapter stacks gathered to the columns the batch's route classes
+        can reach (ops/routed_lora.compact_active_adapters), cached per
+        active set — an eval run's modality mix is constant, so the gather
+        happens once and every batch reuses the compiled compacted shapes."""
+        from ..ops.routed_lora import (active_adapter_set,
+                                       compact_active_adapters)
+        active = active_adapter_set(self.routing_table, route_classes)
+        if not hasattr(self, "_compact_cache"):
+            self._compact_cache = {}
+        if active not in self._compact_cache:
+            self._compact_cache[active] = compact_active_adapters(
+                self.params, self.routing_table, active)
+        return self._compact_cache[active]
 
     # ------------------------------------------------------------------
     def generate_stream(self, input_ids: Sequence[np.ndarray],

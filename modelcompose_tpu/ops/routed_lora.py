@@ -160,6 +160,69 @@ def fold_dense(params, routing_table):
     return out, table - c[None, :]
 
 
+def active_adapter_set(routing_table, route_classes=None):
+    """Adapter columns reachable from the given route classes.
+
+    Args:
+      routing_table: [n_classes, n_adapters].
+      route_classes: iterable of class ids actually present in the batch
+        (None = all classes).
+
+    Returns: sorted tuple of active adapter column indices.
+    """
+    import numpy as np
+
+    table = np.asarray(routing_table)
+    if route_classes is not None:
+        rows = table[sorted({int(c) for c in route_classes})]
+    else:
+        rows = table
+    return tuple(int(a) for a in np.nonzero(np.any(rows != 0, axis=0))[0])
+
+
+def compact_active_adapters(params, routing_table, active):
+    """Gather the stacked adapters down to the active columns.
+
+    An online-merge-reset 4-modal composition stacks ~9 adapter rows
+    (4 modal + 4 ``default-{modal}`` + the dead 'default'), and
+    ``routed_lora_matmul`` contracts over ALL of them for every prefill
+    token — ~+50% linear FLOPs at r=128/d=4096 paid even for tokens routed
+    to a single adapter (SURVEY.md hard part #2).  The set of columns any
+    token can touch is the union of nonzero table entries over the route
+    classes present in the batch, which the host-side pack plan knows — so
+    slice A/B (and the table columns) ONCE per composed config.  The
+    active count is static per config: no dynamic shapes, one compile.
+
+    Args:
+      params: core/llama.py param tree.
+      routing_table: [n_classes, n_adapters].
+      active: tuple of adapter column indices (from active_adapter_set);
+        classes whose rows put weight on dropped columns must not be
+        routed to afterwards.
+
+    Returns: (params', routing_table' [n_classes, len(active)]).
+    """
+    import numpy as np
+
+    if not active:  # routing degenerate: keep one (zero-weighted) column
+        active = (0,)
+    idx = list(active)
+
+    def slice_linear(p):
+        return {"w": p["w"],
+                "lora_a": jnp.asarray(p["lora_a"])[:, idx],
+                "lora_b": jnp.asarray(p["lora_b"])[:, idx]}
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for grp in ("attn", "mlp"):
+        layers[grp] = {name: slice_linear(p)
+                       for name, p in params["layers"][grp].items()}
+    out["layers"] = layers
+    table = np.asarray(routing_table)[:, idx]
+    return out, jnp.asarray(table, jnp.float32)
+
+
 def fold_default_adapter(w, lora_a, lora_b, default_route):
     """Fold the decode-time ('default' class) adapter mix densely into w.
 

@@ -282,3 +282,90 @@ def test_generate_fold_dense_matches_unfolded():
     t_plain = generate(params, cfg, embeds, **kw)
     t_fold = generate(params, cfg, embeds, fold_decode="dense", **kw)
     assert t_plain == t_fold
+
+
+def test_compact_active_adapters_prefill_identical():
+    """Gathering the adapter stacks down to the batch-active columns is
+    numerically identical to the full contraction — on forward logits AND
+    greedy generation (VERDICT round 2 #3 / SURVEY hard part #2)."""
+    import jax
+    from modelcompose_tpu.config import ROUTE_CLASS_INDEX, tiny_test_config
+    from modelcompose_tpu.core.generate import generate
+    from modelcompose_tpu.core.llama import forward, init_params
+    from modelcompose_tpu.ops.routed_lora import (active_adapter_set,
+                                                  compact_active_adapters)
+
+    # 3-modal online-merge-reset config: 7 adapter rows stacked
+    cfg = tiny_test_config(
+        mm_vision_encoder="x", mm_hidden_size=8,
+        mm_audio_encoder="y", mm_audio_hidden_size=8,
+        mm_video_encoder="z", mm_video_hidden_size=8,
+        reset_scaling_weights=(
+            "default-vision=0.4,default-audio=0.3,default-video=0.3"))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for grp in ("attn", "mlp"):
+        for name in params["layers"][grp]:
+            key, sub = jax.random.split(key)
+            p = params["layers"][grp][name]
+            p["lora_b"] = jax.random.normal(sub, p["lora_b"].shape) * 0.1
+    table = cfg.routing_table()
+    n_adapters = table.shape[1]
+
+    # batch uses default + vision only -> active set is a strict subset
+    B, L = 2, 8
+    route_ids = np.zeros((B, L), np.int32)
+    route_ids[:, 2:4] = ROUTE_CLASS_INDEX["vision"]
+    classes = np.unique(route_ids)
+    active = active_adapter_set(table, classes)
+    assert 0 < len(active) < n_adapters, (active, n_adapters)
+
+    cparams, ctable = compact_active_adapters(params, table, active)
+    assert cparams["layers"]["attn"]["q"]["lora_a"].shape[1] == len(active)
+
+    embeds = jax.random.normal(jax.random.PRNGKey(2),
+                               (B, L, cfg.hidden_size)) * 0.1
+    seg = np.ones((B, L), np.int32)
+    full, _ = forward(params, cfg, embeds, route_ids=jnp.asarray(route_ids),
+                      routing_table=jnp.asarray(table),
+                      segment_ids=jnp.asarray(seg))
+    comp, _ = forward(cparams, cfg, embeds, route_ids=jnp.asarray(route_ids),
+                      routing_table=ctable, segment_ids=jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+    kw = dict(lengths=np.array([L, L - 2], np.int32),
+              route_ids=jnp.asarray(route_ids), max_new_tokens=6,
+              eos_token_id=None)
+    t_full = generate(params, cfg, embeds, routing_table=table, **kw)
+    t_comp = generate(cparams, cfg, embeds, routing_table=ctable, **kw)
+    assert t_full == t_comp
+
+
+def test_model_generate_compact_adapters_matches():
+    """MultimodalLM.generate(compact_adapters=True) emits identical tokens
+    and caches the gathered stacks per active set."""
+    import jax
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+    from modelcompose_tpu.models.model import MultimodalLM
+
+    cfg = tiny_test_config(
+        mm_vision_encoder="test:32x2", mm_hidden_size=32,
+        mm_audio_encoder="test:32x2", mm_audio_hidden_size=32,
+        mm_projector_type="mlp2x_gelu", local_prefix_tokens=1,
+        local_suffix_tokens=1,
+        reset_scaling_weights="default-vision=0.5,default-audio=0.5")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(3))
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    pixels = np.linspace(-1, 1, 2 * 28 * 28 * 3,
+                         dtype=np.float32).reshape(2, 28, 28, 3)
+    ids = [np.array([1, IMG, 7, 8]), np.array([1, IMG, 9, 10, 11])]
+    t_ref = model.generate(ids, {"vision": jnp.asarray(pixels)},
+                           max_new_tokens=6)
+    t_cmp = model.generate(ids, {"vision": jnp.asarray(pixels)},
+                           max_new_tokens=6, compact_adapters=True)
+    assert t_ref == t_cmp
+    (active,) = model._compact_cache.keys()
+    # audio adapter rows are inactive for a vision-only batch
+    assert len(active) < cfg.routing_table().shape[1]
