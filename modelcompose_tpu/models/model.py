@@ -163,7 +163,8 @@ class MultimodalLM:
                         max_new_tokens: Sequence[int],
                         temperatures: Sequence[float],
                         emit, rng_seed: Optional[int] = None,
-                        bucket_len: Optional[int] = None) -> None:
+                        bucket_len: Optional[int] = None,
+                        cancelled=None) -> None:
         """Batched streaming decode: one packed prefill, then a host-side
         decode loop that emits each sample's token THE STEP IT DECODES —
         the role the reference's TextIteratorStreamer thread plays
@@ -171,7 +172,14 @@ class MultimodalLM:
 
         emit(i, event) receives ("token", id) then ("done", None) per
         sample i; per-sample temperature/max_new_tokens/EOS are honored
-        (sampling happens host-side so rows can differ)."""
+        (sampling happens host-side so rows can differ).
+
+        cancelled(i) -> bool, checked every step: a row whose consumer went
+        away (stop-string hit, client disconnect) is masked done so the
+        packed generation stops burning decode steps on it — and the whole
+        batch early-exits once every row is done/cancelled (the reference's
+        KeywordsStoppingCriteria role, reference: mm_utils.py:114-140,
+        which its streamer thread lacks on disconnect)."""
         from ..core.generate import _decode_step, _prefill
 
         B = len(input_ids)
@@ -199,6 +207,9 @@ class MultimodalLM:
             logits_host = np.asarray(logits, np.float32)  # [B, V] sync
             tokens = np.zeros(B, np.int32)
             for b in range(B):
+                if not done[b] and cancelled is not None and cancelled(b):
+                    done[b] = True
+                    emit(b, ("done", None))
                 if done[b]:
                     tokens[b] = eos if eos is not None else 0
                     continue

@@ -199,16 +199,33 @@ class ModelWorker:
         max_new = [min(int(r.get("max_new_tokens", 256)), 1024)
                    for r in requests]
         temps = [float(r.get("temperature", 1.0)) for r in requests]
+        cancels = [r.get("_cancel") for r in requests]
+
+        def cancelled(i):
+            return cancels[i] is not None and cancels[i].is_set()
+
         self.model.generate_stream(
             ids_rows, merged, max_new_tokens=max_new, temperatures=temps,
-            emit=emit, rng_seed=int(time.time() * 1e3) % (1 << 31))
+            emit=emit, rng_seed=int(time.time() * 1e3) % (1 << 31),
+            cancelled=cancelled)
 
     def generate_stream(self, params: dict):
         """Yield b"\\0"-delimited JSON chunks AS TOKENS DECODE (the
         reference's TextIteratorStreamer wire format, reference:
-        model_worker.py:122-192)."""
+        model_worker.py:122-192).
+
+        Stop matching is substring (rfind) over the accumulated generated
+        text, the reference's KeywordsStoppingCriteria semantics
+        (reference: mm_utils.py:136-139) — a stop string landing mid-chunk
+        after detokenization drift is still caught.  On stop hit, client
+        disconnect (GeneratorExit), or any exit, the per-request cancel
+        event tells the BatchingEngine to mask the row out of the packed
+        generation so it stops consuming decode steps."""
         prompt = params["prompt"]
         stop_str = params.get("stop")
+        cancel = threading.Event()
+        params = dict(params)
+        params["_cancel"] = cancel
         self.queue_length += 1
         try:
             events = self.engine.submit(params)
@@ -229,14 +246,17 @@ class ModelWorker:
                 tokens.append(payload)
                 text = self.tokenizer.decode(tokens,
                                              skip_special_tokens=True)
-                if stop_str and text.endswith(stop_str):
-                    text = text[:-len(stop_str)]
+                hit = text.rfind(stop_str) if stop_str else -1
+                if hit >= 0:
+                    text = text[:hit]
                     yield json.dumps({"text": prompt + text,
                                       "error_code": 0}).encode() + b"\0"
                     break
                 yield json.dumps({"text": prompt + text,
                                   "error_code": 0}).encode() + b"\0"
         finally:
+            # stop hit / disconnect / error / normal end: release the row
+            cancel.set()
             self.queue_length -= 1
         if not tokens:  # empty generation still answers the request
             yield json.dumps({"text": prompt,
@@ -254,11 +274,17 @@ def build_app(worker: ModelWorker) -> web.Application:
         loop = asyncio.get_event_loop()
         gen = worker.generate_stream(params)
         sentinel = object()
-        while True:  # write each chunk the moment it is produced
-            chunk = await loop.run_in_executor(None, next, gen, sentinel)
-            if chunk is sentinel:
-                break
-            await resp.write(chunk)
+        try:
+            while True:  # write each chunk the moment it is produced
+                chunk = await loop.run_in_executor(None, next, gen, sentinel)
+                if chunk is sentinel:
+                    break
+                await resp.write(chunk)
+        finally:
+            # client disconnect surfaces as a write error between next()
+            # calls — close the generator so its cancel event releases the
+            # row from the packed generation
+            gen.close()
         return resp
 
     @routes.post("/worker_get_status")

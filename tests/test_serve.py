@@ -77,7 +77,8 @@ class FakeModel:
         return [[11, 12, 13]]
 
     def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
-                        temperatures, emit, rng_seed=None, bucket_len=None):
+                        temperatures, emit, rng_seed=None, bucket_len=None,
+                        cancelled=None):
         for b in range(len(ids)):
             for tok in (11, 12, 13):
                 emit(b, ("token", tok))
@@ -257,7 +258,7 @@ def test_streaming_chunks_arrive_before_generation_completes():
     class SlowStreamModel(FakeModel):
         def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
                             temperatures, emit, rng_seed=None,
-                            bucket_len=None):
+                            bucket_len=None, cancelled=None):
             for tok in (11, 12, 13, 14):
                 emit(0, ("token", tok))
                 time.sleep(0.15)  # still "decoding" after each token
@@ -354,3 +355,78 @@ def test_media_requests_batch_as_one_packed_generation():
     # both media requests ran as one packed generation with 2 images
     assert any(n_ids == 2 and feats.get("vision") == 2
                for n_ids, feats in calls), calls
+
+
+def _tiny_text_worker(stop_decode=False):
+    """Worker over a REAL tiny MultimodalLM with a decode-step counter, so
+    cancellation tests measure actual decode-loop consumption."""
+    import jax
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.core import generate as G
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.serve.model_worker import ModelWorker
+    from tests.fake_tokenizer import FakeLlamaTokenizer
+
+    cfg = tiny_test_config(eos_token_id=-1)  # random model: no natural EOS
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+
+    steps = [0]
+    orig_step = G._decode_step
+
+    def counting(*a, **kw):
+        steps[0] += 1
+        return orig_step(*a, **kw)
+
+    class StopTok(FakeLlamaTokenizer):
+        def decode(self, ids, skip_special_tokens=True):
+            n = len(np.asarray(ids).tolist())
+            if stop_decode and n >= 3:  # 3rd token completes the stop str
+                return "x" * n + "STOP trailing"
+            return "x" * n
+
+    def loader(mp, mb, name):
+        return StopTok(), model, {}, 2048
+
+    worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
+                         no_register=True, loader=loader)
+    return worker, steps, (G, orig_step, counting)
+
+
+def test_stop_string_cancels_packed_generation():
+    """A stop-string hit releases the row from the packed generation: the
+    real decode loop early-exits instead of burning max_new_tokens steps
+    (reference stopping-criteria role: mm_utils.py:114-140).  Matching is
+    substring (rfind), so a stop landing mid-chunk is caught and the text
+    is truncated at the match."""
+    worker, steps, (G, orig, counting) = _tiny_text_worker(stop_decode=True)
+    G._decode_step = counting
+    try:
+        chunks = list(worker.generate_stream(
+            {"prompt": "hi", "stop": "STOP", "max_new_tokens": 50,
+             "temperature": 0}))
+    finally:
+        G._decode_step = orig
+    last = json.loads(chunks[-1][:-1])
+    assert last["error_code"] == 0
+    assert "STOP" not in last["text"] and "trailing" not in last["text"]
+    # stop hit on the 3rd token; allow a few racy extra producer steps
+    assert steps[0] <= 10, steps[0]
+
+
+def test_client_disconnect_cancels_packed_generation():
+    """Closing the chunk generator mid-stream (what build_app does on a
+    client disconnect) cancels the row: decode stops well short of
+    max_new_tokens."""
+    worker, steps, (G, orig, counting) = _tiny_text_worker()
+    G._decode_step = counting
+    try:
+        gen = worker.generate_stream(
+            {"prompt": "hi", "max_new_tokens": 50, "temperature": 0})
+        next(gen)
+        next(gen)
+        gen.close()  # GeneratorExit -> finally -> cancel event
+        time.sleep(1.0)  # let the engine thread observe the cancel
+    finally:
+        G._decode_step = orig
+    assert steps[0] <= 10, steps[0]
