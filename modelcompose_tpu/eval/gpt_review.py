@@ -54,6 +54,25 @@ def default_judge(system_prompt: str, content: str, model: str,
     return resp.choices[0].message.content
 
 
+def http_judge(system_prompt: str, content: str, model: str,
+               max_tokens: int, url: str, auth=None) -> str:
+    """Judge via an OpenAI-format HTTP relay endpoint — the role of the
+    reference's ``eval_gpt_review_bench_thumt.py`` (reference:
+    modelcompose/eval/eval_gpt_review_bench_thumt.py:35-55), which routes
+    bench reviews through a proxied chat endpoint instead of the OpenAI
+    SDK.  Credentials come from the environment
+    (GPT_REVIEW_USER/GPT_REVIEW_PASSWORD), never hardcoded."""
+    import requests
+    data = json.dumps({
+        "model": model,
+        "messages": [{"role": "system", "content": system_prompt},
+                     {"role": "user", "content": content}],
+        "max_tokens": max_tokens})
+    resp = requests.post(url=url, data=data, auth=auth, timeout=100)
+    body = resp.json()
+    return body["choices"][0]["message"]["content"]
+
+
 def parse_score(review: str):
     """First line 'x y' -> [x, y] (reference: eval_gpt_review.py)."""
     try:
@@ -136,6 +155,10 @@ def main():
                         default="pairs")
     parser.add_argument("--model", default="gpt-4")
     parser.add_argument("--max-tokens", type=int, default=1024)
+    parser.add_argument("--judge-url", default=None,
+                        help="OpenAI-format HTTP relay endpoint (the "
+                             "bench_thumt flow); basic-auth credentials "
+                             "via GPT_REVIEW_USER/GPT_REVIEW_PASSWORD")
     args = parser.parse_args()
 
     questions = [json.loads(l) for l in open(args.question)]
@@ -143,8 +166,20 @@ def main():
     a2 = [json.loads(l) for l in open(args.answer_list[1])]
     rule = json.load(open(args.rule))
 
-    def judge(system, content):
-        return default_judge(system, content, args.model, args.max_tokens)
+    if args.judge_url:
+        import os as _os
+        auth = None
+        user = _os.environ.get("GPT_REVIEW_USER")
+        if user:
+            auth = (user, _os.environ.get("GPT_REVIEW_PASSWORD", ""))
+
+        def judge(system, content):
+            return http_judge(system, content, args.model, args.max_tokens,
+                              args.judge_url, auth=auth)
+    else:
+        def judge(system, content):
+            return default_judge(system, content, args.model,
+                                 args.max_tokens)
 
     if args.mode == "pairs":
         with open(args.output, "w") as f:

@@ -1,0 +1,173 @@
+"""MMBench loader: TSV questions with base64 images + circular-option eval.
+
+Rebuild of the reference's ``model_vqa_mmbench.py`` (reference:
+modelcompose/eval/model_vqa_mmbench.py:1-170): questions arrive as a TSV
+with columns ``index, question, hint, A..D, image`` (image base64-encoded
+in the sheet); ``--all-rounds`` runs one generation per option rotation
+(the CircularEval protocol — an answer must survive every lettering of the
+same choices), writing one answer row per round with the rotated
+``options``/``option_char`` so the MMBench grader can re-align letters.
+
+Usage: python -m modelcompose_tpu.eval.model_vqa_mmbench \
+    --model-path ckpt --model-base vicuna --question-file q.tsv \
+    --answers-file out.jsonl --single-pred-prompt --all-rounds
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import csv
+import io
+import json
+import math
+import os
+import uuid
+
+import numpy as np
+
+from ..data import conversation as conversation_lib
+from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.dataset import get_chunk
+from ..data.tokenization import tokenizer_modal_token
+
+all_options = ["A", "B", "C", "D"]
+
+
+def is_none(value) -> bool:
+    """TSV cells: missing options come through as None/NaN/'nan'/'none'
+    (reference: model_vqa_mmbench.py:32-41; '' added for csv readers)."""
+    if value is None:
+        return True
+    if isinstance(value, float) and math.isnan(value):
+        return True
+    if isinstance(value, str) and value.lower() in ("", "nan", "none"):
+        return True
+    return False
+
+
+def get_options(row, options):
+    """Contiguous non-empty option columns (reference: :43-50)."""
+    parsed = []
+    for option in options:
+        if is_none(row.get(option)):
+            break
+        parsed.append(row[option])
+    return parsed
+
+
+def load_image_from_base64(image_b64: str):
+    from PIL import Image
+    return Image.open(io.BytesIO(base64.b64decode(image_b64))).convert("RGB")
+
+
+def read_tsv(path):
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f, delimiter="\t"))
+
+
+def eval_model(args, loaded=None):
+    if loaded is None:
+        from ..models.loader import load_pretrained_model
+        model_name = os.path.basename(args.model_path.rstrip("/"))
+        loaded = load_pretrained_model(args.model_path, args.model_base,
+                                       model_name)
+    tokenizer, model, processors, _ = loaded
+    conversation_lib.default_conversation = conv_templates[args.conv_mode]
+    model_id = os.path.basename(args.model_path.rstrip("/"))
+
+    questions = get_chunk(read_tsv(args.question_file), args.num_chunks,
+                          args.chunk_idx)
+    os.makedirs(os.path.dirname(args.answers_file) or ".", exist_ok=True)
+
+    conv_template = conv_templates[args.conv_mode]
+    stop_str = conv_template.sep \
+        if conv_template.sep_style != SeparatorStyle.TWO \
+        else conv_template.sep2
+
+    from ..data.image_processing import process_images
+
+    import jax
+    rng = jax.random.PRNGKey(0)
+    with open(args.answers_file, "w") as ans_file:
+        for row in questions:
+            options = get_options(row, all_options)
+            cur_option_char = all_options[:len(options)]
+            num_rounds = len(options) if args.all_rounds else 1
+
+            for round_idx in range(num_rounds):
+                idx = row["index"]
+                question = row["question"]
+                hint = row.get("hint")
+                image = load_image_from_base64(row["image"])
+                if not is_none(hint):
+                    question = hint + "\n" + question
+                for option_char, option in zip(all_options[:len(options)],
+                                               options):
+                    question = question + "\n" + option_char + ". " + option
+                qs = cur_prompt = question
+                qs = "<image>\n" + qs
+
+                if args.single_pred_prompt:
+                    if args.lang == "cn":
+                        qs = qs + "\n" + "请直接回答选项字母。"
+                    else:
+                        qs = qs + "\n" + ("Answer with the option's letter "
+                                          "from the given choices directly.")
+
+                conv = conv_template.copy()
+                conv.append_message(conv.roles[0], qs)
+                conv.append_message(conv.roles[1], None)
+                ids = np.asarray(
+                    tokenizer_modal_token(conv.get_prompt(), tokenizer),
+                    np.int64)
+                modal_inputs = {"vision": process_images(
+                    [image], processors["vision"], image_aspect_ratio="pad")}
+                tokens = model.generate(
+                    [ids], modal_inputs, max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature
+                    if args.temperature > 1e-4 else 0.0, rng=rng)[0]
+                text = tokenizer.decode(
+                    tokens, skip_special_tokens=True).strip()
+                if stop_str and text.endswith(stop_str):
+                    text = text[:-len(stop_str)]
+                text = text.strip()
+
+                ans_file.write(json.dumps({
+                    "question_id": idx,
+                    "round_id": round_idx,
+                    "prompt": cur_prompt,
+                    "text": text,
+                    "options": options,
+                    "option_char": cur_option_char,
+                    "answer_id": uuid.uuid4().hex[:22],
+                    "model_id": model_id,
+                    "metadata": {},
+                }) + "\n")
+                ans_file.flush()
+
+                # rotate options for the next circular round (:160-162)
+                options = options[1:] + options[:1]
+                cur_option_char = cur_option_char[1:] + cur_option_char[:1]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-base", default=None)
+    parser.add_argument("--question-file", required=True)
+    parser.add_argument("--answers-file", default="answer.jsonl")
+    parser.add_argument("--conv-mode", default="llava_v1")
+    parser.add_argument("--num-chunks", type=int, default=1)
+    parser.add_argument("--chunk-idx", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--all-rounds", action="store_true")
+    parser.add_argument("--single-pred-prompt", action="store_true")
+    parser.add_argument("--lang", default="en")
+    args = parser.parse_args()
+    eval_model(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,30 @@ from ..data.conversation import SeparatorStyle, conv_templates
 from ..data.tokenization import tokenizer_modal_token
 
 
+def infer_conv_mode(model_name: str) -> str:
+    """Auto conv-mode from the model name (the run_llava.py behavior,
+    reference: modelcompose/eval/run_llava.py:40-52)."""
+    name = model_name.lower()
+    if "llama-2" in name:
+        return "llava_llama_2"
+    if "v1" in name:
+        return "llava_v1"
+    if "mpt" in name:
+        return "mpt"
+    return "llava_v0"
+
+
+def load_image(image_file: str):
+    """Local path or http(s) URL (reference: run_llava.py:17-23)."""
+    from PIL import Image
+    if image_file.startswith(("http://", "https://")):
+        import io
+        import urllib.request
+        with urllib.request.urlopen(image_file) as resp:
+            return Image.open(io.BytesIO(resp.read())).convert("RGB")
+    return Image.open(image_file).convert("RGB")
+
+
 def run(args, loaded=None) -> str:
     if loaded is None:
         from ..models.loader import load_pretrained_model
@@ -24,14 +48,16 @@ def run(args, loaded=None) -> str:
         loaded = load_pretrained_model(args.model_path, args.model_base,
                                        name)
     tokenizer, model, processors, _ = loaded
+    if args.conv_mode == "auto":
+        name = args.model_path.rstrip("/").split("/")[-1]
+        args.conv_mode = infer_conv_mode(name)
     conversation_lib.default_conversation = conv_templates[args.conv_mode]
 
     modal_inputs = {}
     prefix = ""
     if args.image_file:
-        from PIL import Image
         from ..data.image_processing import process_images
-        img = Image.open(args.image_file).convert("RGB")
+        img = load_image(args.image_file)
         modal_inputs["vision"] = process_images(
             [img], processors["vision"], image_aspect_ratio="pad")
         prefix += "<image>\n"

@@ -1,0 +1,352 @@
+"""Legacy eval tail: mmbench / science loaders, SQA-GPT4 scorers, batched
+loader, model_qa, gpt35 baseline, msrvtt scorer, thumt http judge.
+
+Each mirrors its reference counterpart's CLI surface and output schema on
+fixtures with an injectable model/judge (reference files cited per test).
+"""
+
+import base64
+import io
+import json
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from modelcompose_tpu.config import tiny_test_config
+from modelcompose_tpu.models.model import MultimodalLM
+from tests.fake_tokenizer import FakeLlamaTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_vision_model():
+    cfg = tiny_test_config(mm_vision_encoder="test:32x2", mm_hidden_size=32,
+                           mm_projector_type="mlp2x_gelu")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    return FakeLlamaTokenizer(), model, model.modal_processors(), 2048
+
+
+def _img_b64():
+    buf = io.BytesIO()
+    Image.fromarray((np.random.RandomState(0).rand(28, 28, 3) * 255)
+                    .astype(np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+# ------------------------------------------------------- mmbench loader
+
+def test_mmbench_circular_rounds(tmp_path, tiny_vision_model):
+    """reference: modelcompose/eval/model_vqa_mmbench.py:1-170 — one answer
+    row per option rotation, options/option_char rotating in lockstep."""
+    from modelcompose_tpu.eval.model_vqa_mmbench import eval_model
+
+    tsv = tmp_path / "q.tsv"
+    b64 = _img_b64()
+    rows = [
+        "index\tquestion\thint\tA\tB\tC\tD\timage",
+        f"q0\twhich?\tsome hint\topt-a\topt-b\topt-c\t\t{b64}",
+        f"q1\twhat?\tnan\tyes\tno\t\t\t{b64}",
+    ]
+    tsv.write_text("\n".join(rows) + "\n")
+
+    class Args:
+        model_path = "m-multimodal"
+        model_base = "b"
+        question_file = str(tsv)
+        answers_file = str(tmp_path / "ans.jsonl")
+        conv_mode = "llava_v1"
+        num_chunks, chunk_idx = 1, 0
+        temperature = 0.0
+        max_new_tokens = 3
+        all_rounds = True
+        single_pred_prompt = True
+        lang = "en"
+
+    eval_model(Args, loaded=tiny_vision_model)
+    recs = [json.loads(line) for line in open(Args.answers_file)]
+    assert len(recs) == 3 + 2  # 3 rounds for q0, 2 for q1
+    q0 = [r for r in recs if r["question_id"] == "q0"]
+    assert [r["round_id"] for r in q0] == [0, 1, 2]
+    assert q0[0]["options"] == ["opt-a", "opt-b", "opt-c"]
+    assert q0[1]["options"] == ["opt-b", "opt-c", "opt-a"]  # rotated
+    assert q0[1]["option_char"] == ["B", "C", "A"]
+    # hint is prepended, option letters listed, directive appended
+    assert q0[0]["prompt"].startswith("some hint\nwhich?")
+    assert "A. opt-a" in q0[0]["prompt"]
+    q1 = [r for r in recs if r["question_id"] == "q1"]
+    assert len(q1) == 2 and q1[0]["options"] == ["yes", "no"]  # 'nan' hint
+    assert "nan" not in q1[0]["prompt"]
+
+
+# ------------------------------------------- science loader w/ CoT requery
+
+def test_model_vqa_science_answer_prompter(tmp_path, tiny_vision_model):
+    """reference: modelcompose/eval/model_vqa_science.py:99-121 — the
+    second-turn ANSWER: query appends 'The answer is <x>'."""
+    from modelcompose_tpu.eval.model_vqa_science import eval_model
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray((np.random.RandomState(1).rand(28, 28, 3) * 255)
+                    .astype(np.uint8)).save(img_dir / "p.png")
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps([
+        {"id": "p0", "image": "p.png", "conversations": [
+            {"from": "human", "value": "<image>\nWhich option?"}]},
+        {"id": "p1", "conversations": [
+            {"from": "human", "value": "Text-only question"}]},
+    ]))
+
+    class Args:
+        model_path = "m-multimodal"
+        model_base = "b"
+        question_file = str(qfile)
+        image_folder = str(img_dir)
+        answers_file = str(tmp_path / "ans.jsonl")
+        conv_mode = "llava_v0"
+        num_chunks, chunk_idx = 1, 0
+        temperature = 0.0
+        max_new_tokens = 3
+        answer_prompter = True
+        single_pred_prompt = True
+
+    eval_model(Args, loaded=tiny_vision_model)
+    recs = [json.loads(line) for line in open(Args.answers_file)]
+    assert [r["question_id"] for r in recs] == ["p0", "p1"]
+    for r in recs:
+        assert "\n The answer is " in r["text"]
+        assert "Answer with the option's letter" in r["prompt"]
+    assert recs[0]["prompt"].startswith("<image>\n")
+
+
+# --------------------------------------------------- SQA GPT-4 scorers
+
+def _sqa_fixture(tmp_path):
+    problems = {
+        "p0": {"choices": ["cat", "dog"], "answer": 0},
+        "p1": {"choices": ["red", "blue", "green"], "answer": 2},
+        "p2": {"choices": ["up", "down"], "answer": 1},
+    }
+    splits = {"test": ["p0", "p1", "p2"]}
+    ours = {
+        "p0": {"question_id": "p0", "prompt": "q0",
+               "text": "The answer is A."},
+        "p1": {"question_id": "p1", "prompt": "q1",
+               "text": "The answer is C."},
+        "p2": {"question_id": "p2", "prompt": "q2",
+               "text": "The answer is A."},
+    }
+    gpt4 = {"outputs": {
+        "p0": "The answer is B.",   # wrong
+        "p1": "The answer is C.",   # right
+        "p2": "no parseable form",  # FAILED -> falls back to ours (A=idx 0)
+    }}
+    (tmp_path / "problems.json").write_text(json.dumps(problems))
+    (tmp_path / "pid_splits.json").write_text(json.dumps(splits))
+    our_file = tmp_path / "ours.jsonl"
+    our_file.write_text("\n".join(json.dumps(v) for v in ours.values()))
+    gpt4_file = tmp_path / "gpt4.json"
+    gpt4_file.write_text(json.dumps(gpt4))
+    return problems, splits, ours, gpt4
+
+
+def test_eval_science_qa_gpt4(tmp_path):
+    """reference: modelcompose/eval/eval_science_qa_gpt4.py:40-104."""
+    from modelcompose_tpu.eval.eval_science_qa_gpt4 import evaluate
+
+    problems, splits, ours, gpt4 = _sqa_fixture(tmp_path)
+    split_problems = {i: problems[i] for i in splits["test"]}
+    our_preds = {k: v for k, v in ours.items()}
+    r = evaluate(split_problems, our_preds, gpt4["outputs"])
+    # p0: gpt4 B wrong; p1: gpt4 C right; p2: FAILED -> ours A -> wrong
+    assert r["correct"] == 1 and r["incorrect"] == 2
+    assert r["gpt4_failed"] == 1
+    # upper bound: p0 ours right, p1 right, p2 both wrong
+    assert r["correct_upperbound"] == 2
+
+
+def test_eval_science_qa_gpt4_requery(tmp_path):
+    """reference: modelcompose/eval/eval_science_qa_gpt4_requery.py:41-149."""
+    from modelcompose_tpu.eval.eval_science_qa_gpt4_requery import evaluate
+
+    problems, splits, ours, gpt4 = _sqa_fixture(tmp_path)
+    split_problems = {i: problems[i] for i in splits["test"]}
+    requery = {
+        "p0": {"question_id": "p0", "text": "The answer is A."},  # right
+        "p1": {"question_id": "p1", "text": "garbled"},  # FAILED -> ours C
+        # p2 missing -> MISSING -> FAILED -> ours A (wrong)
+    }
+    results, sqa = evaluate(split_problems, ours, requery, gpt4["outputs"])
+    assert results["total"] == 3
+    assert results["our_correct"] == 2          # p0 A right, p1 C right
+    assert results["requery_correct"] == 2      # p0 requery A, p1 ours C
+    assert results["missing_requery"] == 1
+    assert sqa["correct"] == 2 and sqa["count"] == 3
+    assert abs(sqa["acc"] - 200 / 3) < 1e-6
+    assert sqa["results"]["p0"] == 0 and sqa["results"]["p1"] == 2
+
+
+# ------------------------------------------------- batched loader variant
+
+def test_model_vqa_loader_prefetch(tmp_path, tiny_vision_model):
+    """reference: modelcompose/eval/model_vqa_loader.py:30-135 — prefetch
+    workers, list-of-images rows, --no_add_image_token."""
+    from modelcompose_tpu.eval.model_vqa_loader import eval_model
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for name in ("a.png", "b.png"):
+        Image.fromarray((np.random.RandomState(len(name)).rand(28, 28, 3)
+                         * 255).astype(np.uint8)).save(img_dir / name)
+    qfile = tmp_path / "q.jsonl"
+    qfile.write_text(
+        json.dumps({"question_id": 0, "image": "a.png",
+                    "text": "what?"}) + "\n" +
+        json.dumps({"question_id": 1, "image": ["a.png", "b.png"],
+                    "text": "compare these"}) + "\n" +
+        json.dumps({"question_id": 2, "image": "b.png",
+                    "text": "describe"}) + "\n")
+
+    class Args:
+        model_path = "m-multimodal"
+        model_base = "b"
+        question_file = str(qfile)
+        image_folder = str(img_dir)
+        answers_file = str(tmp_path / "ans.jsonl")
+        conv_mode = "llava_v1"
+        num_chunks, chunk_idx = 1, 0
+        temperature = 0.0
+        max_new_tokens = 3
+        num_workers = 2
+        no_add_image_token = False
+
+    eval_model(Args, loaded=tiny_vision_model)
+    recs = [json.loads(line) for line in open(Args.answers_file)]
+    assert [r["question_id"] for r in recs] == [0, 1, 2]
+    assert all(r["text"] for r in recs)
+
+    # pre-tagged prompts are served verbatim under --no_add_image_token
+    qfile2 = tmp_path / "q2.jsonl"
+    qfile2.write_text(
+        json.dumps({"question_id": 9, "image": "b.png",
+                    "text": "<image>\nalready tagged"}) + "\n")
+    Args.question_file = str(qfile2)
+    Args.no_add_image_token = True
+    Args.answers_file = str(tmp_path / "ans2.jsonl")
+    eval_model(Args, loaded=tiny_vision_model)
+    recs2 = [json.loads(line) for line in open(Args.answers_file)]
+    assert recs2[0]["question_id"] == 9 and recs2[0]["text"]
+
+
+# ---------------------------------------------------------- model_qa
+
+def test_model_qa_text_only(tmp_path, tiny_vision_model):
+    """reference: modelcompose/eval/model_qa.py:33-77."""
+    from modelcompose_tpu.eval.model_qa import eval_model
+
+    qfile = tmp_path / "q.jsonl"
+    qfile.write_text(
+        json.dumps({"question_id": 1, "text": "hello?",
+                    "category": "generic"}) + "\n")
+
+    class Args:
+        model_path = "m-multimodal"
+        model_base = "b"
+        question_file = str(qfile)
+        answers_file = str(tmp_path / "ans.jsonl")
+        temperature = 0.7
+        max_new_tokens = 4
+
+    eval_model(Args, loaded=tiny_vision_model)
+    recs = [json.loads(line) for line in open(Args.answers_file)]
+    assert recs[0]["question_id"] == 1 and recs[0]["text"]
+    assert "###" not in recs[0]["text"]  # cut at the separator
+
+
+# ------------------------------------------------------ gpt3.5 baseline
+
+def test_qa_baseline_gpt35_injectable(tmp_path):
+    """reference: modelcompose/eval/qa_baseline_gpt35.py:16-74 — 3 retries,
+    '#ERROR#' fallback, sorted output."""
+    from modelcompose_tpu.eval.qa_baseline_gpt35 import MODEL_ID, get_answer, run
+
+    def answer_fn(question, max_tokens):
+        if "boom" in question:
+            raise RuntimeError("api down")
+        return f"echo: {question}"
+
+    answers = run({2: "second", 1: "first"}, 64, answer_fn, max_workers=2)
+    assert [a["question_id"] for a in answers] == [1, 2]
+    assert answers[0]["text"] == "echo: first"
+    assert all(a["model_id"] == MODEL_ID for a in answers)
+
+    calls = []
+    bad = get_answer(3, "boom", 64,
+                     lambda q, m: (_ for _ in ()).throw(RuntimeError("x")),
+                     sleep_fn=calls.append)
+    assert bad["text"] == "#ERROR#"
+    assert len(calls) == 3  # one sleep per failed attempt
+
+
+# ------------------------------------------------------- msrvtt scorer
+
+def test_eval_msrvtt_qa(tmp_path):
+    """reference: modelcompose/eval/eval_msrvtt_qa.py:4-64."""
+    from modelcompose_tpu.eval.eval_msrvtt_qa import (
+        calculate_accuracy, find_mismatched_questions)
+
+    answers = [{"id": i, "conversations": [
+        {"from": "human", "value": f"q{i}"},
+        {"from": "gpt", "value": v}]} for i, v in enumerate(["cat", "dog"])]
+    outputs = [{"question_id": 0, "text": "I see a CAT here"},
+               {"question_id": 1, "text": "a bird"}]
+    assert calculate_accuracy(answers, outputs) == 50.0
+
+    x = [{"question_id": 0, "text": "nothing"},
+         {"question_id": 1, "text": "nothing"}]
+    y = [{"question_id": 0, "text": "nope"},
+         {"question_id": 1, "text": "nope"}]
+    z = [{"question_id": 0, "text": "the cat sat"},
+         {"question_id": 1, "text": "still nothing"}]
+    mm = find_mismatched_questions(answers, x, y, z)
+    assert len(mm) == 1 and mm[0]["expected_answer"] == "cat"
+
+
+# -------------------------------------------------- thumt http judge
+
+def test_gpt_review_http_judge(monkeypatch):
+    """reference: modelcompose/eval/eval_gpt_review_bench_thumt.py:35-55 —
+    OpenAI-format HTTP relay judging with basic auth."""
+    from modelcompose_tpu.eval.gpt_review import http_judge
+
+    seen = {}
+
+    class FakeResp:
+        def json(self):
+            return {"choices": [{"message": {"content": "8 7\ngood"}}]}
+
+    def fake_post(url, data=None, auth=None, timeout=None):
+        seen.update(url=url, data=json.loads(data), auth=auth)
+        return FakeResp()
+
+    import requests
+    monkeypatch.setattr(requests, "post", fake_post)
+    out = http_judge("sys", "content body", "gpt-3.5-turbo-16k-0613", 512,
+                     "http://relay/beta", auth=("u", "p"))
+    assert out == "8 7\ngood"
+    assert seen["url"] == "http://relay/beta"
+    assert seen["auth"] == ("u", "p")
+    assert seen["data"]["messages"][1]["content"] == "content body"
+
+
+# ----------------------------------------------- run_llava conveniences
+
+def test_run_inference_auto_conv_mode():
+    """reference: modelcompose/eval/run_llava.py:40-52."""
+    from modelcompose_tpu.eval.run_inference import infer_conv_mode
+
+    assert infer_conv_mode("llava-llama-2-13b") == "llava_llama_2"
+    assert infer_conv_mode("llava-v1.5") == "llava_v1"
+    assert infer_conv_mode("llava-mpt-7b") == "mpt"
+    assert infer_conv_mode("llava-7b") == "llava_v0"
