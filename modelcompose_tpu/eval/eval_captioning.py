@@ -2,14 +2,17 @@
 
 Plays the role of the reference's pycocoevalcap-based scorer (reference:
 modelcompose/eval/eval_captioning.py:1-16) — that package is not in this
-image, so the standard formulas are implemented directly: corpus BLEU with
-brevity penalty (uniform weights), ROUGE-L exactly as pycocoevalcap's
-pure-python scorer (LCS F-measure, beta=1.2, max over references, corpus
-mean), METEOR with the classic exact-match formula (alpha=0.9 F-mean,
-0.5*(chunks/matches)^3 fragmentation penalty — pycocoevalcap shells out to
-the METEOR Java jar with synonym/stem modules, so values are comparable
-but not bit-identical), and CIDEr-D (n-gram TF-IDF cosine with length
-gaussian penalty, sigma=6, n=1..4).
+image.  BLEU (closest-reflen corpus scorer), ROUGE-L (LCS F-measure,
+beta=1.2, max over references) and CIDEr-D (raw-tf idf vectors, clipped
+cosine, gaussian length penalty sigma=6) implement pycocoevalcap's
+algorithms EXACTLY — tests/test_captioning_pycoco_exact.py holds
+independent transcriptions of its scorers and asserts bitwise agreement
+on randomized corpora.  METEOR is a documented approximation: the classic
+exact-match formula by default, with a ``params="1.5-exact"``
+parameterization matching the meteor-1.5 jar's en constants; the jar's
+stem/synonym/paraphrase modules and SPICE (both Java) are excluded —
+see BASELINE.md "Captioning metric fidelity".  Tokenization is a simple
+lowercase/punct-strip standing in for the PTBTokenizer jar.
 
 Inputs follow the reference's format: results jsonl with
 ``{"question_id", "text"}`` and a COCO-style annotation json with
@@ -39,33 +42,46 @@ def _ngrams(tokens: List[str], n: int) -> Counter:
 
 def corpus_bleu(hypotheses: List[List[str]], references: List[List[List[str]]],
                 max_n: int = 4) -> List[float]:
-    """Corpus BLEU-1..max_n with brevity penalty."""
-    bleu = []
+    """Corpus BLEU-1..max_n, pycocoevalcap-exact: the 'closest' effective
+    reference length (ties -> shorter), cumulative clipped-precision
+    product with the +1e-9 denominator guard, brevity penalty
+    exp(1 - 1/ratio) when ratio < 1 (pycocoevalcap bleu_scorer semantics,
+    tested exact against an independent transcription in
+    tests/test_captioning_pycoco_exact.py)."""
     hyp_len = sum(len(h) for h in hypotheses)
     ref_len = 0
     for h, refs in zip(hypotheses, references):
         ref_len += min((abs(len(r) - len(h)), len(r)) for r in refs)[1]
-    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len /
-                                                max(hyp_len, 1))
-    log_precisions = []
+
+    bleu, product = [], 1.0
     for n in range(1, max_n + 1):
-        match, total = 0, 0
+        correct, guess = 0, 0
         for h, refs in zip(hypotheses, references):
             h_ng = _ngrams(h, n)
             max_ref = Counter()
             for r in refs:
                 for ng, c in _ngrams(r, n).items():
                     max_ref[ng] = max(max_ref[ng], c)
-            match += sum(min(c, max_ref[ng]) for ng, c in h_ng.items())
-            total += max(sum(h_ng.values()), 0)
-        p = match / max(total, 1)
-        log_precisions.append(math.log(max(p, 1e-12)))
-        bleu.append(bp * math.exp(sum(log_precisions) / n))
+            correct += sum(min(c, max_ref[ng]) for ng, c in h_ng.items())
+            guess += max(len(h) - n + 1, 0)
+        product *= float(correct) / (float(guess) + 1e-9)
+        bleu.append(product ** (1.0 / n))
+    ratio = hyp_len / (ref_len + 1e-9)
+    if ratio < 1:
+        bp = math.exp(1 - 1 / ratio) if ratio > 0 else 0.0
+        bleu = [b * bp for b in bleu]
     return bleu
 
 
 def cider_d(hypotheses: List[List[str]], references: List[List[List[str]]],
             max_n: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D, pycocoevalcap-exact: RAW term-frequency x idf vectors
+    (clipping min(hyp, ref) is scale-sensitive, so tf must not be
+    length-normalized), idf = log(N) - log(max(df, 1)) over reference
+    sets, clipped dot / norms, gaussian length penalty sigma=6, summed
+    over refs then /len(refs), mean over n, x10 (pycocoevalcap
+    cider_scorer semantics, tested exact against an independent
+    transcription in tests/test_captioning_pycoco_exact.py)."""
     num_docs = len(references)
     # document frequency over reference n-grams
     df = [defaultdict(float) for _ in range(max_n)]
@@ -77,34 +93,31 @@ def cider_d(hypotheses: List[List[str]], references: List[List[List[str]]],
             for ng in seen:
                 df[n][ng] += 1.0
 
+    log_n = math.log(max(num_docs, 1))
+
     def tfidf_vec(tokens, n):
         vec = defaultdict(float)
-        counts = _ngrams(tokens, n + 1)
-        length = max(sum(counts.values()), 1)
         norm = 0.0
-        for ng, c in counts.items():
-            idf = math.log(max(num_docs, 1)) - math.log(max(df[n][ng], 1.0))
-            v = (c / length) * idf
+        for ng, c in _ngrams(tokens, n + 1).items():
+            v = float(c) * (log_n - math.log(max(df[n][ng], 1.0)))
             vec[ng] = v
             norm += v * v
         return vec, math.sqrt(norm)
 
     scores = []
     for h, refs in zip(hypotheses, references):
-        score_n = []
-        for n in range(max_n):
-            hv, hn = tfidf_vec(h, n)
-            sim = 0.0
-            for r in refs:
+        score_n = [0.0] * max_n
+        hvs = [tfidf_vec(h, n) for n in range(max_n)]
+        for r in refs:
+            delta = float(len(h) - len(r))
+            penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(max_n):
+                hv, hn = hvs[n]
                 rv, rn = tfidf_vec(r, n)
-                # clipped dot product (CIDEr-D)
                 dot = sum(min(hv[ng], rv[ng]) * rv[ng] for ng in hv)
-                delta = len(h) - len(r)
-                penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
                 if hn > 0 and rn > 0:
-                    sim += penalty * dot / (hn * rn)
-            score_n.append(10.0 * sim / max(len(refs), 1))
-        scores.append(sum(score_n) / max_n)
+                    score_n[n] += penalty * dot / (hn * rn)
+        scores.append(10.0 * sum(score_n) / max_n / max(len(refs), 1))
     return sum(scores) / max(len(scores), 1)
 
 
@@ -171,13 +184,26 @@ def _meteor_single(h: List[str], r: List[str],
     return f_mean * (1 - penalty)
 
 
+# METEOR parameterizations: "1.0" = the classic paper formula this module
+# defaults to; "1.5-exact" = the meteor-1.5 jar's tuned en parameters
+# (alpha 0.85, beta 0.2, gamma 0.6) restricted to the EXACT matcher module.
+# The jar pycocoevalcap shells out to additionally applies stem/synonym/
+# paraphrase matchers and function-word discounting (delta) — not
+# reproducible without its Java resources, so values here are documented
+# approximations; tests/test_captioning_pycoco_exact.py pins the numeric
+# divergence between the two parameterizations on a seeded corpus.
+METEOR_PARAMS = {"1.0": (0.9, 3.0, 0.5), "1.5-exact": (0.85, 0.2, 0.6)}
+
+
 def meteor(hypotheses: List[List[str]],
-           references: List[List[List[str]]]) -> float:
+           references: List[List[List[str]]],
+           params: str = "1.0") -> float:
     """Corpus METEOR: per sample the max over references, averaged."""
+    alpha, beta, gamma = METEOR_PARAMS[params]
     scores = []
     for h, refs in zip(hypotheses, references):
-        scores.append(max((_meteor_single(h, r) for r in refs),
-                          default=0.0))
+        scores.append(max((_meteor_single(h, r, alpha, beta, gamma)
+                           for r in refs), default=0.0))
     return sum(scores) / max(len(scores), 1)
 
 

@@ -34,7 +34,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--towers", nargs="*",
-                        default=["vision", "video", "audio", "point"])
+                        default=["vision", "video", "audio", "point",
+                                 "eva", "imagebind"])
     args = parser.parse_args()
 
     import jax
@@ -76,6 +77,37 @@ def main():
         jfn = jax.jit(lambda p, x: beats_extract_features(p, cfg, x)[0])
         dt = timeit(lambda: jfn(params, fbank), args.iters)
         results["beats_5s_clips_per_sec"] = round(B / dt, 2)
+
+    if "eva" in args.towers:
+        from modelcompose_tpu.models.vision_eva import (PRESETS,
+                                                        eva_vision_features,
+                                                        init_eva_vision)
+        for preset in ("EVA02-CLIP-L-14-336", "EVA01-CLIP-g-14"):
+            cfg = PRESETS[preset]
+            params = init_eva_vision(cfg, jax.random.PRNGKey(0),
+                                     jnp.bfloat16)
+            n = B if "L-14" in preset else max(B // 2, 1)  # g-14 is 1.0B
+            pixels = jnp.zeros((n, cfg.image_size, cfg.image_size, 3),
+                               jnp.bfloat16)
+            jfn = jax.jit(lambda p, x, c=cfg: eva_vision_features(p, c, x))
+            dt = timeit(lambda: jfn(params, pixels), args.iters)
+            key = preset.lower().replace("-", "_") + "_images_per_sec"
+            results[key] = round(n / dt, 2)
+            del params
+
+    if "imagebind" in args.towers:
+        from modelcompose_tpu.models.audio_imagebind import (
+            ImageBindAudioConfig, imagebind_audio_features,
+            init_imagebind_audio)
+        cfg = ImageBindAudioConfig()
+        params = init_imagebind_audio(cfg, jax.random.PRNGKey(0),
+                                      jnp.bfloat16)
+        # 3 clips per audio (the reference's clip sampler default)
+        mel = jnp.zeros((B, cfg.clips_per_audio, 1, cfg.num_mel_bins,
+                         cfg.target_len), jnp.bfloat16)
+        jfn = jax.jit(lambda p, x: imagebind_audio_features(p, cfg, x))
+        dt = timeit(lambda: jfn(params, mel), args.iters)
+        results["imagebind_audio_3clip_per_sec"] = round(B / dt, 2)
 
     if "point" in args.towers:
         from modelcompose_tpu.models.point_bert import (PointBertConfig,

@@ -21,7 +21,9 @@ def test_bleu_partial():
     h = [_tokenize("the cat sat")]
     r = [[_tokenize("a cat sat on the mat")]]
     bleu = corpus_bleu(h, r)
-    assert 0 < bleu[3] < bleu[0] <= 1.0
+    assert 0 < bleu[1] < bleu[0] <= 1.0
+    # pycocoevalcap-exact: no 4-gram match -> BLEU-4 is 0, not smoothed
+    assert bleu[3] == 0.0
 
 
 def test_cider_identical_beats_unrelated():
