@@ -1,0 +1,31 @@
+#!/bin/bash
+# Legacy LLaVA stage-1 projector pretrain, mapped onto the DAMC trainer
+# (reference: /root/reference/scripts/pretrain.sh — the original-LLaVA
+# recipe: --version plain, projector-only, lr 2e-3, bs 16).
+set -e
+BASE_PATH=$(cd "$(dirname "$0")"; pwd); BASE_PATH=${BASE_PATH%%/scripts*}
+cd $BASE_PATH
+MODEL_BASE=${MODEL_BASE:-/path/to/vicuna-7b}
+DATA_FILE=${DATA_FILE:-/path/to/pretrain_data.json}
+
+# NOTE: legacy LLaVA data ({'image': ..., 'conversations': ...})
+# must first be converted to the modal_inputs format:
+#   python -m modelcompose_tpu.data.convert_to_multimodal \
+#     --input llava_data.json --output $DATA_FILE --media-root <image_folder>
+python -m modelcompose_tpu.train.train_multimodal \
+    --model_name_or_path $MODEL_BASE \
+    --version plain \
+    --data_path $DATA_FILE \
+    --mm_vision_encoder openai/clip-vit-large-patch14 \
+    --mm_vision_select_layer -2 \
+    --tune_mm_mlp_adapter True \
+    --bf16 True \
+    --output_dir ./checkpoints/llava-pretrain \
+    --num_train_epochs 1 \
+    --per_device_train_batch_size 16 \
+    --save_steps 24000 \
+    --learning_rate 2e-3 \
+    --weight_decay 0. \
+    --warmup_ratio 0.03 \
+    --logging_steps 1 \
+    --model_max_length 2048
