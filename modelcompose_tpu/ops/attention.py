@@ -86,8 +86,15 @@ def attention(q, k, v, *, causal: bool = True, q_segment_ids=None,
         kv_segment_ids=kv_segment_ids, q_offset=q_offset, sm_scale=sm_scale)
 
 
-def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None):
-    """Single-token attention against a preallocated KV cache.
+def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
+                     chunk: int = 512):
+    """Single-token attention against a preallocated KV cache,
+    flash-decoding style: a ``fori_loop`` over cache chunks with running
+    max/sum accumulators, so the int8->f32 dequantization of each chunk
+    lives only in VMEM.  (A single whole-cache einsum lets XLA materialize
+    the dequantized cache in HBM: measured 288 GB/s effective vs 687 GB/s
+    for this loop at 4.2k cached positions on v5e — the difference between
+    50 and ~57 tok/s on the composed long-context workload.)
 
     q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D] arrays OR
     int8-quantized dicts {'q': int8, 'scale': [B, S_max, Hkv, 1]} (see
@@ -108,31 +115,48 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None):
     Hkv = k_q.shape[2]
     if sm_scale is None:
         sm_scale = D ** -0.5
-    if Hkv != H:
-        rep = H // Hkv
-
-        def expand(x):
-            return None if x is None else jnp.repeat(x, rep, axis=2)
-
-        k_q, v_q = expand(k_q), expand(v_q)
-        k_scale, v_scale = expand(k_scale), expand(v_scale)
-    logits = jnp.einsum("bqhd,bshd->bhqs", q,
-                        k_q.astype(q.dtype) if k_q.dtype == jnp.int8
-                        else k_q,
-                        preferred_element_type=jnp.float32) * sm_scale
-    if k_scale is not None:
-        # [B, S, H, 1] -> [B, H, 1, S]
-        logits = logits * k_scale[..., 0].transpose(0, 2, 1)[:, :, None, :]
+    rep = H // Hkv
     kv_len = jnp.asarray(kv_len)
     if kv_len.ndim == 0:
         kv_len = jnp.broadcast_to(kv_len, (B,))
-    valid = jnp.arange(S)[None, :] < kv_len[:, None]
-    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    if v_scale is not None:
-        probs = probs * v_scale[..., 0].transpose(0, 2, 1)[:, :, None, :]
-    out = jnp.einsum("bhqs,bshd->bqhd",
-                     probs.astype(q.dtype),
-                     v_q.astype(q.dtype) if v_q.dtype == jnp.int8 else v_q,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+
+    C = min(chunk, S)
+    n_chunks = (S + C - 1) // C
+    qf = q[:, 0].astype(jnp.float32) * sm_scale  # [B, H, D]
+
+    def expand(x):  # GQA: repeat kv heads AFTER the chunk slice (in VMEM)
+        return x if rep == 1 else jnp.repeat(x, rep, axis=2)
+
+    def body(i, carry):
+        m, l, acc = carry
+        # Clamp the last chunk's start; the owned-range mask below keeps
+        # the overlap from double-counting.
+        start = jnp.minimum(i * C, S - C)
+        k_c = expand(jax.lax.dynamic_slice_in_dim(k_q, start, C, 1))
+        v_c = expand(jax.lax.dynamic_slice_in_dim(v_q, start, C, 1))
+        logits = jnp.einsum("bhd,bchd->bhc", qf, k_c.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            ks_c = expand(jax.lax.dynamic_slice_in_dim(k_scale, start, C, 1))
+            logits = logits * ks_c[..., 0].transpose(0, 2, 1)
+        pos = start + jnp.arange(C)
+        valid = (pos[None] >= i * C) & (pos[None] < kv_len[:, None])
+        logits = jnp.where(valid[:, None, :], logits, NEG_INF)
+        m_new = jnp.maximum(m, logits.max(-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])  # [B, H, C]
+        l_new = l * corr + p.sum(-1)
+        if v_scale is not None:
+            vs_c = expand(jax.lax.dynamic_slice_in_dim(v_scale, start, C, 1))
+            p = p * vs_c[..., 0].transpose(0, 2, 1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhc,bchd->bhd", p, v_c.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H), jnp.float32)
+    a0 = jnp.zeros((B, H, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)[:, None]
