@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from .llama import KVCache, forward
+from .llama import KVCache, forward, forward_hidden_routed
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len", "attn_impl",
                                               "kv_quant"))
@@ -27,14 +27,18 @@ def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
              attn_impl: str, kv_quant: bool = False):
     B, L, _ = inputs_embeds.shape
     cache = KVCache.zeros(cfg, B, max_len, quantized=kv_quant)
-    logits, cache = forward(
+    hidden, cache = forward_hidden_routed(
         params, cfg, inputs_embeds, route_ids=route_ids,
         routing_table=routing_table, segment_ids=segment_ids,
         cache=cache, attn_impl=attn_impl)
-    # Last valid position's logits per sample (right-padded batch).
-    last = jnp.take_along_axis(
-        logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)
-    return last[:, 0], cache
+    # Only the last valid position feeds decoding: gather it BEFORE the
+    # lm_head so prefill skips the [B, L, V] logits GEMM + fp32 buffer
+    # (0.5 GB at the 4096 bucket; the reference computes logits over the
+    # whole prompt, eval loop: model_multimodal_qa_loader.py:93-102).
+    last_h = jnp.take_along_axis(
+        hidden, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)
+    from .llama import logits_from_hidden
+    return logits_from_hidden(params, last_h)[:, 0], cache
 
 
 @functools.partial(jax.jit,

@@ -287,11 +287,13 @@ def logits_from_hidden(params: Params, hidden) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
-def forward(params: Params, cfg: ModelConfig, inputs_embeds, *,
-            route_ids=None, routing_table=None, segment_ids=None,
-            positions=None, cache: Optional[KVCache] = None,
-            cache_write_pos=None, kv_lens=None, attn_impl: str = "auto"):
-    """Full causal-LM forward: embeds -> hidden -> fp32 logits.
+def forward_hidden_routed(params: Params, cfg: ModelConfig, inputs_embeds, *,
+                          route_ids=None, routing_table=None,
+                          segment_ids=None, positions=None,
+                          cache: Optional[KVCache] = None,
+                          cache_write_pos=None, kv_lens=None,
+                          attn_impl: str = "auto"):
+    """embeds -> last hidden state (no lm_head), with route-class expansion.
 
     route_ids: [B, L] int32 route classes; routing_table:
     [n_classes, n_adapters].  When routing is inactive for the config the
@@ -306,8 +308,20 @@ def forward(params: Params, cfg: ModelConfig, inputs_embeds, *,
             route = jnp.broadcast_to(table[0], (B, L, table.shape[1]))
         else:
             route = jnp.take(table, route_ids, axis=0)
-    hidden, new_cache = forward_hidden(
+    return forward_hidden(
         params, cfg, inputs_embeds, route=route, segment_ids=segment_ids,
+        positions=positions, cache=cache, cache_write_pos=cache_write_pos,
+        kv_lens=kv_lens, attn_impl=attn_impl)
+
+
+def forward(params: Params, cfg: ModelConfig, inputs_embeds, *,
+            route_ids=None, routing_table=None, segment_ids=None,
+            positions=None, cache: Optional[KVCache] = None,
+            cache_write_pos=None, kv_lens=None, attn_impl: str = "auto"):
+    """Full causal-LM forward: embeds -> hidden -> fp32 logits."""
+    hidden, new_cache = forward_hidden_routed(
+        params, cfg, inputs_embeds, route_ids=route_ids,
+        routing_table=routing_table, segment_ids=segment_ids,
         positions=positions, cache=cache, cache_write_pos=cache_write_pos,
         kv_lens=kv_lens, attn_impl=attn_impl)
     return logits_from_hidden(params, hidden), new_cache
