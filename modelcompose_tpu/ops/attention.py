@@ -87,7 +87,7 @@ def attention(q, k, v, *, causal: bool = True, q_segment_ids=None,
 
 
 def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
-                     chunk: int = 512):
+                     chunk: int = 512, layer_idx=None):
     """Single-token attention against a preallocated KV cache,
     flash-decoding style: a ``fori_loop`` over cache chunks with running
     max/sum accumulators, so the int8->f32 dequantization of each chunk
@@ -98,8 +98,12 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
 
     q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D] arrays OR
     int8-quantized dicts {'q': int8, 'scale': [B, S_max, Hkv, 1]} (see
-    core/llama.quantize_kv).  kv_len: [B] or scalar number of valid cache
-    entries (the new token's slot included).
+    core/llama.quantize_kv).  With ``layer_idx`` given, the caches instead
+    carry a leading layer axis ([NL, B, S_max, Hkv, D]) and chunks are
+    sliced directly from the stacked buffer — the decode layer-scan keeps
+    the whole cache as its carry and this avoids materializing a per-layer
+    copy.  kv_len: [B] or scalar number of valid cache entries (the new
+    token's slot included).
 
     With quantized caches the per-vector scales factor OUT of both
     contractions — logits pick up k_scale per key column, and v_scale
@@ -111,8 +115,9 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
         if isinstance(k_cache, dict) else (k_cache, None)
     v_q, v_scale = (v_cache["q"], v_cache["scale"]) \
         if isinstance(v_cache, dict) else (v_cache, None)
-    S = k_q.shape[1]
-    Hkv = k_q.shape[2]
+    seq_axis = 1 if layer_idx is None else 2
+    S = k_q.shape[seq_axis]
+    Hkv = k_q.shape[seq_axis + 1]
     if sm_scale is None:
         sm_scale = D ** -0.5
     rep = H // Hkv
@@ -124,6 +129,14 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
     n_chunks = (S + C - 1) // C
     qf = q[:, 0].astype(jnp.float32) * sm_scale  # [B, H, D]
 
+    def slice_chunk(x, start):
+        """[B, C, Hkv, last] chunk of a (possibly layer-stacked) cache."""
+        if layer_idx is None:
+            return jax.lax.dynamic_slice(
+                x, (0, start, 0, 0), (B, C) + x.shape[2:])
+        return jax.lax.dynamic_slice(
+            x, (layer_idx, 0, start, 0, 0), (1, B, C) + x.shape[3:])[0]
+
     def expand(x):  # GQA: repeat kv heads AFTER the chunk slice (in VMEM)
         return x if rep == 1 else jnp.repeat(x, rep, axis=2)
 
@@ -132,12 +145,12 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
         # Clamp the last chunk's start; the owned-range mask below keeps
         # the overlap from double-counting.
         start = jnp.minimum(i * C, S - C)
-        k_c = expand(jax.lax.dynamic_slice_in_dim(k_q, start, C, 1))
-        v_c = expand(jax.lax.dynamic_slice_in_dim(v_q, start, C, 1))
+        k_c = expand(slice_chunk(k_q, start))
+        v_c = expand(slice_chunk(v_q, start))
         logits = jnp.einsum("bhd,bchd->bhc", qf, k_c.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
         if k_scale is not None:
-            ks_c = expand(jax.lax.dynamic_slice_in_dim(k_scale, start, C, 1))
+            ks_c = expand(slice_chunk(k_scale, start))
             logits = logits * ks_c[..., 0].transpose(0, 2, 1)
         pos = start + jnp.arange(C)
         valid = (pos[None] >= i * C) & (pos[None] < kv_len[:, None])
@@ -147,7 +160,7 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
         p = jnp.exp(logits - m_new[..., None])  # [B, H, C]
         l_new = l * corr + p.sum(-1)
         if v_scale is not None:
-            vs_c = expand(jax.lax.dynamic_slice_in_dim(v_scale, start, C, 1))
+            vs_c = expand(slice_chunk(v_scale, start))
             p = p * vs_c[..., 0].transpose(0, 2, 1)
         acc_new = acc * corr[..., None] + jnp.einsum(
             "bhc,bchd->bhd", p, v_c.astype(jnp.float32),
