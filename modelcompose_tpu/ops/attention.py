@@ -14,6 +14,7 @@ on TPU backends and to the XLA implementation elsewhere.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -92,9 +93,10 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
     flash-decoding style: a ``fori_loop`` over cache chunks with running
     max/sum accumulators, so the int8->f32 dequantization of each chunk
     lives only in VMEM.  (A single whole-cache einsum lets XLA materialize
-    the dequantized cache in HBM: measured 288 GB/s effective vs 687 GB/s
-    for this loop at 4.2k cached positions on v5e — the difference between
-    50 and ~57 tok/s on the composed long-context workload.)
+    the dequantized cache in HBM — measured 288 GB/s effective at 4.2k
+    cached positions on v5e; this loop is the fastest structure measured,
+    beating both a pallas flash-decode kernel and per-layer unrolled
+    variants — see BASELINE.md round-3 notes.)
 
     q: [B, 1, H, D]; k_cache/v_cache: [B, S_max, Hkv, D] arrays OR
     int8-quantized dicts {'q': int8, 'scale': [B, S_max, Hkv, 1]} (see
@@ -111,6 +113,16 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
     from HBM.
     """
     B, _, H, D = q.shape
+    if layer_idx is not None and os.environ.get("MC_FLASH_DECODE") == "1":
+        # Opt-in pallas flash-decode kernel — measured SLOWER than this
+        # XLA loop on v5e (see ops/flash_decode.py header); kept as
+        # parity-tested groundwork.
+        from .flash_decode import flash_decode_attention
+        out = flash_decode_attention(
+            q, k_cache, v_cache, kv_len, layer_idx,
+            sm_scale=D ** -0.5 if sm_scale is None else sm_scale)
+        if out is not None:
+            return out
     k_q, k_scale = (k_cache["q"], k_cache["scale"]) \
         if isinstance(k_cache, dict) else (k_cache, None)
     v_q, v_scale = (v_cache["q"], v_cache["scale"]) \
