@@ -278,6 +278,32 @@ def main():
         "kernel_check": kernel,
     }
 
+    # Serving configuration at batch 16 (the production throughput point;
+    # full scaling curve: scripts/bench_serving.py).  BENCH_SERVING=0 skips.
+    if on_tpu and os.environ.get("BENCH_SERVING") != "0":
+        B16, L16 = 16, 256
+        embeds16 = jnp.zeros((B16, L16, cfg.hidden_size), dt)
+        route16 = jnp.zeros((B16, L16), jnp.int32)
+        seg16 = jnp.ones((B16, L16), jnp.int32)
+        len16 = jnp.full((B16,), L16, jnp.int32)
+
+        def run16():
+            logits16, cache16 = _prefill(params, cfg, embeds16, route16,
+                                         table, seg16, len16, cache_len,
+                                         "auto", use_int8)
+            tokens16, _ = _decode_loop(params, cfg, cache16, logits16,
+                                       len16, None, rng, steps, -1, 0.0)
+            return np.asarray(tokens16)
+
+        try:
+            run16()  # compile warmup
+            t0 = time.perf_counter()
+            run16()
+            result["serving_b16_tok_per_sec"] = round(
+                B16 * steps / (time.perf_counter() - t0), 1)
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            result["serving_b16_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # The composed 4-modal long-context workload (MCUB-4 shape) — the
     # reference's signature eval; BENCH_LONGCTX=0 skips (two extra 7B
     # compiles through the relay).
