@@ -212,6 +212,10 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
                     for part in cache}
         return scatter_token(cache, val)
 
+    # Decode always arrives here with layer_idx set (forward_hidden's
+    # carry-based decode scan); cache without cache_write_pos is prefill.
+    assert cache_write_pos is None or layer_idx is not None
+
     new_cache_k, new_cache_v = cache_k, cache_v
     if cache_k is not None and layer_idx is not None:
         new_cache_k = cache_update_full(cache_k, k)
@@ -224,9 +228,6 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
         # Decode against the stacked carried cache (token slot just set).
         attn_out = decode_attention(q, new_cache_k, new_cache_v, kv_lens,
                                     layer_idx=layer_idx)
-    elif cache_k is not None and cache_write_pos is not None:
-        # Decode: attend over the cache.
-        attn_out = decode_attention(q, new_cache_k, new_cache_v, kv_lens)
     else:
         attn_out = attention(q, k, v, causal=True, q_segment_ids=segment_ids,
                              kv_segment_ids=segment_ids, impl=attn_impl)

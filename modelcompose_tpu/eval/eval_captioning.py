@@ -44,7 +44,8 @@ def corpus_bleu(hypotheses: List[List[str]], references: List[List[List[str]]],
                 max_n: int = 4) -> List[float]:
     """Corpus BLEU-1..max_n, pycocoevalcap-exact: the 'closest' effective
     reference length (ties -> shorter), cumulative clipped-precision
-    product with the +1e-9 denominator guard, brevity penalty
+    product with the +1e-15/+1e-9 numerator/denominator guards,
+    brevity penalty
     exp(1 - 1/ratio) when ratio < 1 (pycocoevalcap bleu_scorer semantics,
     tested exact against an independent transcription in
     tests/test_captioning_pycoco_exact.py)."""
@@ -64,7 +65,7 @@ def corpus_bleu(hypotheses: List[List[str]], references: List[List[List[str]]],
                     max_ref[ng] = max(max_ref[ng], c)
             correct += sum(min(c, max_ref[ng]) for ng, c in h_ng.items())
             guess += max(len(h) - n + 1, 0)
-        product *= float(correct) / (float(guess) + 1e-9)
+        product *= (float(correct) + 1e-15) / (float(guess) + 1e-9)
         bleu.append(product ** (1.0 / n))
     ratio = hyp_len / (ref_len + 1e-9)
     if ratio < 1:

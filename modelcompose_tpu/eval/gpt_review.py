@@ -68,7 +68,12 @@ def http_judge(system_prompt: str, content: str, model: str,
         "messages": [{"role": "system", "content": system_prompt},
                      {"role": "user", "content": content}],
         "max_tokens": max_tokens})
-    resp = requests.post(url=url, data=data, auth=auth, timeout=100)
+    resp = requests.post(
+        url=url, data=data, auth=auth, timeout=100,
+        headers={"Content-Type": "application/json"})
+    if resp.status_code != 200:
+        raise RuntimeError(
+            f"judge relay HTTP {resp.status_code}: {resp.text[:500]}")
     body = resp.json()
     return body["choices"][0]["message"]["content"]
 

@@ -97,11 +97,12 @@ def eval_model(args, loaded=None):
     rng = jax.random.PRNGKey(0)
     with open(args.answers_file, "w") as ans_file:
         for (ids, pixels), line in zip(loader, questions):
+            rng, sub = jax.random.split(rng)
             tokens = model.generate(
                 [ids], {"vision": pixels},
                 max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature
-                if args.temperature > 1e-4 else 0.0, rng=rng)[0]
+                if args.temperature > 1e-4 else 0.0, rng=sub)[0]
             text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
             if stop_str and text.endswith(stop_str):
                 text = text[:-len(stop_str)]

@@ -123,10 +123,11 @@ def eval_model(args, loaded=None):
                     np.int64)
                 modal_inputs = {"vision": process_images(
                     [image], processors["vision"], image_aspect_ratio="pad")}
+                rng, sub = jax.random.split(rng)
                 tokens = model.generate(
                     [ids], modal_inputs, max_new_tokens=args.max_new_tokens,
                     temperature=args.temperature
-                    if args.temperature > 1e-4 else 0.0, rng=rng)[0]
+                    if args.temperature > 1e-4 else 0.0, rng=sub)[0]
                 text = tokenizer.decode(
                     tokens, skip_special_tokens=True).strip()
                 if stop_str and text.endswith(stop_str):

@@ -91,17 +91,19 @@ def eval_model(args, loaded=None):
             conv.append_message(conv.roles[0], qs)
             conv.append_message(conv.roles[1], None)
             prompt = conv.get_prompt()
+            rng, sub = jax.random.split(rng)
             outputs = _generate(model, tokenizer, prompt, modal_inputs, args,
-                                rng, args.max_new_tokens, stop_str)
+                                sub, args.max_new_tokens, stop_str)
 
             if args.answer_prompter:
                 # second turn: re-query for the bare option letter
                 # (reference: model_vqa_science.py:99-121)
                 outputs_reasoning = outputs
+                rng, sub = jax.random.split(rng)
                 answer = _generate(
                     model, tokenizer,
                     prompt + outputs_reasoning + " ###\nANSWER:",
-                    modal_inputs, args, rng, 64, stop_str)
+                    modal_inputs, args, sub, 64, stop_str)
                 outputs = outputs_reasoning + "\n The answer is " + answer
 
             ans_file.write(json.dumps({

@@ -113,6 +113,11 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
     from HBM.
     """
     B, _, H, D = q.shape
+    # Normalize kv_len to [B] BEFORE any dispatch — the pallas kernel
+    # reads one scalar-prefetch entry per batch row.
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 0:
+        kv_len = jnp.broadcast_to(kv_len, (B,))
     if layer_idx is not None and os.environ.get("MC_FLASH_DECODE") == "1":
         # Opt-in pallas flash-decode kernel — measured SLOWER than this
         # XLA loop on v5e (see ops/flash_decode.py header); kept as
@@ -133,9 +138,6 @@ def decode_attention(q, k_cache, v_cache, kv_len, *, sm_scale=None,
     if sm_scale is None:
         sm_scale = D ** -0.5
     rep = H // Hkv
-    kv_len = jnp.asarray(kv_len)
-    if kv_len.ndim == 0:
-        kv_len = jnp.broadcast_to(kv_len, (B,))
 
     C = min(chunk, S)
     n_chunks = (S + C - 1) // C

@@ -209,7 +209,7 @@ class ModelWorker:
             emit=emit, rng_seed=int(time.time() * 1e3) % (1 << 31),
             cancelled=cancelled)
 
-    def generate_stream(self, params: dict):
+    def generate_stream(self, params: dict, cancel=None):
         """Yield b"\\0"-delimited JSON chunks AS TOKENS DECODE (the
         reference's TextIteratorStreamer wire format, reference:
         model_worker.py:122-192).
@@ -223,7 +223,10 @@ class ModelWorker:
         generation so it stops consuming decode steps."""
         prompt = params["prompt"]
         stop_str = params.get("stop")
-        cancel = threading.Event()
+        # The HTTP layer passes its own event so it can cancel the row even
+        # while this generator is EXECUTING in an executor thread (closing
+        # a running generator raises ValueError and would skip the finally).
+        cancel = threading.Event() if cancel is None else cancel
         params = dict(params)
         params["_cancel"] = cancel
         self.queue_length += 1
@@ -272,7 +275,8 @@ def build_app(worker: ModelWorker) -> web.Application:
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
-        gen = worker.generate_stream(params)
+        cancel = threading.Event()
+        gen = worker.generate_stream(params, cancel=cancel)
         sentinel = object()
         try:
             while True:  # write each chunk the moment it is produced
@@ -281,10 +285,15 @@ def build_app(worker: ModelWorker) -> web.Application:
                     break
                 await resp.write(chunk)
         finally:
-            # client disconnect surfaces as a write error between next()
-            # calls — close the generator so its cancel event releases the
-            # row from the packed generation
-            gen.close()
+            # Client disconnect / task cancellation: set the event FIRST —
+            # it works even while the generator is mid-next() in the
+            # executor thread (where close() would raise ValueError and
+            # leave the packed row decoding to max_new_tokens).
+            cancel.set()
+            try:
+                gen.close()
+            except ValueError:  # generator still executing in the thread;
+                pass            # the cancel event already released the row
         return resp
 
     @routes.post("/worker_get_status")

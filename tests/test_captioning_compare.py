@@ -22,8 +22,9 @@ def test_bleu_partial():
     r = [[_tokenize("a cat sat on the mat")]]
     bleu = corpus_bleu(h, r)
     assert 0 < bleu[1] < bleu[0] <= 1.0
-    # pycocoevalcap-exact: no 4-gram match -> BLEU-4 is 0, not smoothed
-    assert bleu[3] == 0.0
+    # pycocoevalcap-exact: no 4-gram match -> only the tiny=1e-15
+    # numerator guard survives, not a smoothed value
+    assert 0 < bleu[3] < 1e-3
 
 
 def test_cider_identical_beats_unrelated():

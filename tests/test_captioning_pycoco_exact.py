@@ -34,8 +34,8 @@ def _ngrams_upto(sent, n):
 
 def pycoco_bleu(hyps, refs, n=4):
     """Transcription of pycocoevalcap bleu_scorer.BleuScorer.compute_score
-    (option='closest', small=1e-9, tiny=0)."""
-    small, tiny = 1e-9, 0.0
+    (option='closest', small=1e-9, tiny=1e-15)."""
+    small, tiny = 1e-9, 1e-15
     total = {"testlen": 0, "reflen": 0, "guess": [0] * n, "correct": [0] * n}
     for test, rs in zip(hyps, refs):
         testlen = len(test)

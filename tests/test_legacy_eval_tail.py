@@ -323,11 +323,14 @@ def test_gpt_review_http_judge(monkeypatch):
     seen = {}
 
     class FakeResp:
+        status_code = 200
+
         def json(self):
             return {"choices": [{"message": {"content": "8 7\ngood"}}]}
 
-    def fake_post(url, data=None, auth=None, timeout=None):
-        seen.update(url=url, data=json.loads(data), auth=auth)
+    def fake_post(url, data=None, auth=None, timeout=None, headers=None):
+        seen.update(url=url, data=json.loads(data), auth=auth,
+                    headers=headers)
         return FakeResp()
 
     import requests
@@ -338,6 +341,7 @@ def test_gpt_review_http_judge(monkeypatch):
     assert seen["url"] == "http://relay/beta"
     assert seen["auth"] == ("u", "p")
     assert seen["data"]["messages"][1]["content"] == "content body"
+    assert seen["headers"]["Content-Type"] == "application/json"
 
 
 # ----------------------------------------------- run_llava conveniences

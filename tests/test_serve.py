@@ -430,3 +430,26 @@ def test_client_disconnect_cancels_packed_generation():
     finally:
         G._decode_step = orig
     assert steps[0] <= 10, steps[0]
+
+
+def test_external_cancel_event_releases_row():
+    """build_app passes its own cancel event so it can release the row
+    even while the chunk generator is EXECUTING in an executor thread
+    (closing a running generator raises ValueError); setting the event
+    alone must stop the packed row's decode consumption."""
+    import threading
+
+    worker, steps, (G, orig, counting) = _tiny_text_worker()
+    G._decode_step = counting
+    try:
+        cancel = threading.Event()
+        gen = worker.generate_stream(
+            {"prompt": "hi", "max_new_tokens": 50, "temperature": 0},
+            cancel=cancel)
+        next(gen)
+        cancel.set()          # endpoint-side cancellation, no close()
+        time.sleep(1.0)       # engine observes the event
+    finally:
+        G._decode_step = orig
+        gen.close()
+    assert steps[0] <= 10, steps[0]
