@@ -269,6 +269,13 @@ def _run_parity(reset_scaling, monkeypatch, tmp_path):
         assert our_tokens == ref_tokens, (
             f"ids={ids.tolist()} ours={our_tokens} ref={ref_tokens}")
 
+    # Active-adapter compaction must stay token-identical to the
+    # REFERENCE, not just to our own full contraction (VERDICT r2 #3):
+    # re-run the last (4-modal MCUB-style) prompt compacted.
+    our_tokens_c = ours.generate([ids], our_inputs, max_new_tokens=STEPS,
+                                 compact_adapters=True)[0]
+    assert our_tokens_c == ref_tokens, (our_tokens_c, ref_tokens)
+
 
 def test_greedy_tokens_identical_plain(monkeypatch, tmp_path):
     """DAMC operating point: modal+language routing, prefix/suffix 2+2."""
