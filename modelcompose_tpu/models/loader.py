@@ -73,7 +73,8 @@ def load_pretrained_model(model_path: str, model_base: Optional[str],
                           model_name: Optional[str] = None,
                           load_tokenizer_fn=None,
                           load_8bit: bool = False,
-                          fold_decode_dense: bool = False):
+                          fold_decode_dense: bool = False,
+                          tp: int = 1):
     """'multimodal' checkpoints need model_base (reference rule:
     README.md:96 — basename must contain 'multimodal').
 
@@ -82,7 +83,11 @@ def load_pretrained_model(model_path: str, model_base: Optional[str],
     reference: model/builder.py:27-39 — here per-output-channel symmetric
     so weights stream from HBM as int8).  fold_decode_dense additionally
     folds the default-route adapter mix into W and rebases the routing
-    table (ops/routed_lora.fold_dense) — the production serving setup."""
+    table (ops/routed_lora.fold_dense) — the production serving setup.
+    tp > 1 shards the backbone Megatron-style over ``tp`` devices on a
+    (1, tp) mesh (parallel/mesh.param_pspecs) so serving runs
+    tensor-parallel over ICI; generation is mesh-invariant
+    (tests/test_multichip_decode.py, driver decode_mesh_check)."""
     model_name = model_name or os.path.basename(model_path.rstrip("/"))
     if "multimodal" not in model_name.lower():
         raise ValueError(
@@ -139,6 +144,13 @@ def load_pretrained_model(model_path: str, model_base: Optional[str],
             model.params, jax.numpy.asarray(model.routing_table))
         model.params = folded
         model.routing_table = np.asarray(table)
+    if tp > 1:
+        from ..parallel.mesh import make_mesh, shard_params
+        if len(jax.devices()) < tp:
+            raise ValueError(
+                f"--tp {tp} needs {tp} devices, have {len(jax.devices())}")
+        mesh = make_mesh(data=1, model=tp)
+        model.params = shard_params(model.params, mesh)
     if load_tokenizer_fn is None:
         load_tokenizer_fn = load_tokenizer  # late-bound for test injection
     tokenizer = load_tokenizer_fn(model_base) if model_base else None

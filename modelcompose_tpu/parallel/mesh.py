@@ -101,10 +101,21 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     specs = param_pspecs(params)
+
+    def put(x, s):
+        if isinstance(x, dict) and set(x) == {"q", "scale"}:
+            # int8-quantized leaf (ops/quant): shard the int8 tensor like
+            # its dense counterpart; the per-output-channel scales are
+            # tiny — replicate and let GSPMD slice them in the matmul.
+            return {"q": jax.device_put(x["q"], NamedSharding(mesh, s)),
+                    "scale": jax.device_put(x["scale"],
+                                            NamedSharding(mesh, P()))}
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs,
-        is_leaf=lambda x: isinstance(x, P))
+        put, params, specs,
+        is_leaf=lambda x: isinstance(x, dict)
+        and set(x) == {"q", "scale"})
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -324,15 +324,19 @@ def main():
     parser.add_argument("--fold-decode", action="store_true",
                         help="dense-fold the default adapter mix into W "
                              "(production serving setup)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the backbone "
+                             "Megatron-style over N local chips (ICI)")
     args = parser.parse_args()
     loader = None
-    if args.load_8bit or args.fold_decode:
+    if args.load_8bit or args.fold_decode or args.tp > 1:
         import functools
 
         from ..models.loader import load_pretrained_model
         loader = functools.partial(load_pretrained_model,
                                    load_8bit=args.load_8bit,
-                                   fold_decode_dense=args.fold_decode)
+                                   fold_decode_dense=args.fold_decode,
+                                   tp=args.tp)
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_path, args.model_base, args.model_name,
                          args.limit_model_concurrency, args.no_register,

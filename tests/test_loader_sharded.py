@@ -196,3 +196,55 @@ def test_load_8bit_and_fold_decode(tmp_path):
                                                     np.float32)},
                          max_new_tokens=3)
     assert len(out[0]) <= 3
+
+
+def test_loader_tp_sharded_generation_matches(tmp_path):
+    """loader(tp=4): Megatron-sharded backbone on a (1,4) mesh generates
+    the same greedy tokens as the single-device load — the production
+    TP serving configuration (parallel/mesh.param_pspecs; driver twin:
+    __graft_entry__.decode_mesh_check)."""
+    base = tmp_path / "vicuna-tiny"
+    ckpt = tmp_path / "multimodal-tiny"
+    _write_sharded(_base_state(), str(base), "bin")
+    _write_adapter(str(ckpt))
+
+    kw = dict(load_tokenizer_fn=lambda p: None)
+    _, m1, _, _ = load_pretrained_model(
+        str(ckpt), str(base), "multimodal-tiny", **kw)
+    _, m4, _, _ = load_pretrained_model(
+        str(ckpt), str(base), "multimodal-tiny", tp=4, **kw)
+    # the sharded tree is committed to 4 devices
+    w = m4.params["layers"]["attn"]["q"]["w"]
+    assert len(w.sharding.device_set) == 4
+
+    pixels = np.linspace(-1, 1, 28 * 28 * 3,
+                         dtype=np.float32).reshape(1, 28, 28, 3)
+    ids = [np.array([1, MODAL_TOKEN_INDEXES["vision"], 7, 8, 9])]
+    t1 = m1.generate(ids, {"vision": pixels}, max_new_tokens=6)
+    t4 = m4.generate(ids, {"vision": pixels}, max_new_tokens=6)
+    assert t1 == t4
+
+
+def test_loader_tp_with_int8_and_fold(tmp_path):
+    """tp composes with --load-8bit + --fold-decode (quantized leaves get
+    q sharded / scales replicated in parallel/mesh.shard_params)."""
+    base = tmp_path / "vicuna-tiny"
+    ckpt = tmp_path / "multimodal-tiny"
+    _write_sharded(_base_state(), str(base), "bin")
+    _write_adapter(str(ckpt))
+
+    kw = dict(load_tokenizer_fn=lambda p: None, load_8bit=True,
+              fold_decode_dense=True)
+    _, m1, _, _ = load_pretrained_model(
+        str(ckpt), str(base), "multimodal-tiny", **kw)
+    _, m4, _, _ = load_pretrained_model(
+        str(ckpt), str(base), "multimodal-tiny", tp=4, **kw)
+    w = m4.params["layers"]["attn"]["q"]["w"]
+    assert len(w["q"].sharding.device_set) == 4
+
+    pixels = np.linspace(-1, 1, 28 * 28 * 3,
+                         dtype=np.float32).reshape(1, 28, 28, 3)
+    ids = [np.array([1, MODAL_TOKEN_INDEXES["vision"], 7, 8, 9])]
+    t1 = m1.generate(ids, {"vision": pixels}, max_new_tokens=6)
+    t4 = m4.generate(ids, {"vision": pixels}, max_new_tokens=6)
+    assert t1 == t4
