@@ -42,7 +42,8 @@ from ..data.conversation import conv_templates
 from ..data.dataset import DataCollatorForSupervisedDataset, MultimodalDataset
 from ..models.model import MultimodalLM
 from ..parallel.mesh import (batch_sharding, mesh_for_batch,
-                             shard_encoder_features, shard_params)
+                             shard_encoder_features, shard_opt_state,
+                             shard_params)
 from .checkpoint import (latest_checkpoint, restore_step_checkpoint,
                          save_adapter_checkpoint, save_projector_checkpoint,
                          save_step_checkpoint)
@@ -303,6 +304,12 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         if tower_train else None
     state = init_train_state(cfg, tc, params, model.projectors,
                              tower_params=tower_params)
+    if mesh.shape["data"] > 1:
+        # ZeRO-1: moments sharded over the data axis (the DeepSpeed-ZeRO
+        # role, reference: run_finetune_vision_damc.sh:30 zero3 config)
+        import dataclasses as _dc
+        state = _dc.replace(state, opt_state=shard_opt_state(
+            state.opt_state, mesh))
     tx, _ = make_optimizer(cfg, tc, state.params)
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:

@@ -336,3 +336,89 @@ def test_tower_frozen_without_vision_tower_lr():
     updates, _ = tx.update(grads, tx.init(train_params), train_params)
     assert all(np.all(np.asarray(u) == 0)
                for u in jax.tree.leaves(updates["towers"]))
+
+
+def test_zero1_sharded_opt_state_matches_replicated():
+    """ZeRO-1 (moments sharded over the data axis,
+    parallel/mesh.shard_opt_state) must not change training numerics:
+    two steps on a (4,2) mesh produce the same losses as replicated
+    moments, and the data-sharded moment layout survives the step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+    from modelcompose_tpu.core.packing import plan_pack
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                shard_opt_state,
+                                                shard_params)
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+
+    cfg = tiny_test_config(
+        mm_vision_encoder="test:32x2", mm_hidden_size=32,
+        mm_projector_type="mlp2x_gelu", hidden_size=64,
+        intermediate_size=128, num_attention_heads=4,
+        num_key_value_heads=4, dtype="float32")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    host_params = jax.tree.map(np.asarray, model.params)
+    host_proj = jax.tree.map(np.asarray, model.projectors)
+
+    mesh = make_mesh(data=4, model=2)
+    B = 4
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    pixels = np.zeros((B, 28, 28, 3), np.float32)
+    enc_feats = np.asarray(model.encoders["vision"].encode(pixels))
+    ids = [np.array([1, IMG, 7, 8]) for _ in range(B)]
+    labels = [np.array([-100, -100, 7, 8]) for _ in range(B)]
+    span = model.feature_span_len("vision")
+    plan = plan_pack(ids, {"vision": (B, span)}, labels=labels,
+                     bucket_len=16)
+    bs = batch_sharding(mesh)
+    batch = {
+        "encoder_features": {"vision": jax.device_put(
+            jnp.asarray(enc_feats), bs)},
+        "token_ids": jax.device_put(jnp.asarray(plan.token_ids), bs),
+        "feat_idx": jax.device_put(jnp.asarray(plan.feat_idx), bs),
+        "is_feat": jax.device_put(jnp.asarray(plan.is_feat), bs),
+        "route_ids": jax.device_put(jnp.asarray(plan.route_ids), bs),
+        "labels": jax.device_put(jnp.asarray(plan.labels), bs),
+        "segment_ids": jax.device_put(jnp.asarray(plan.segment_ids), bs),
+    }
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0)
+
+    def run(zero1):
+        params = shard_params(host_params, mesh)
+        state = init_train_state(cfg, tc, params, host_proj)
+        if zero1:
+            state = dataclasses.replace(
+                state, opt_state=shard_opt_state(state.opt_state, mesh))
+        tx, _ = make_optimizer(cfg, tc, state.params)
+        step = make_train_step(cfg, tc, tx, attn_impl="xla")
+        losses = []
+        with mesh:
+            for _ in range(2):
+                state, loss = step(state, batch, tuple(plan.feat_layout))
+                losses.append(float(loss))
+        return losses, state
+
+    losses_rep, _ = run(zero1=False)
+    losses_z1, state_z1 = run(zero1=True)
+    np.testing.assert_allclose(losses_z1, losses_rep, rtol=1e-6)
+
+    # a moment leaf with a data-divisible axis stays data-sharded
+    from jax.sharding import PartitionSpec as P
+    leaves = jax.tree.leaves(
+        state_z1.opt_state,
+        is_leaf=lambda x: hasattr(x, "sharding"))
+    data_sharded = [x for x in leaves
+                    if hasattr(x, "sharding") and getattr(
+                        x.sharding, "spec", P()) and
+                    "data" in str(x.sharding.spec)]
+    assert data_sharded, "no opt-state leaf kept a data-axis sharding"
