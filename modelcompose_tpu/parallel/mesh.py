@@ -124,22 +124,26 @@ def shard_opt_state(opt_state, mesh: Mesh):
     The reference reaches 8 GPUs only because DeepSpeed ZeRO partitions
     optimizer state across data-parallel ranks (SURVEY §2.10); the GSPMD
     equivalent is a sharding annotation on the optimizer pytree — each
-    moment leaf shards its first axis divisible by the data-axis size,
-    XLA runs the update sharded and inserts the gather for the parameter
-    update.  Leaves with no divisible axis (scalars, counts) replicate.
-    Moments of model-sharded params simply pick up an additional data
-    axis; memory per chip drops by ~the data-axis size for the dominant
-    Adam m/v buffers."""
+    moment leaf adds 'data' on its first FREE axis divisible by the
+    data-axis size, MERGED into any sharding the leaf already inherited
+    from its parameter (overwriting a 'model' axis would grow, not
+    shrink, per-chip moments on DPxTP meshes).  XLA runs the update
+    sharded and inserts the gather for the parameter update.  Leaves
+    with no free divisible axis (scalars, counts) keep their sharding."""
     data = mesh.shape["data"]
 
     def put(x):
-        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1 and data > 1:
+        ndim = getattr(x, "ndim", 0)
+        cur_spec = getattr(getattr(x, "sharding", None), "spec", None)
+        cur = list(cur_spec) if cur_spec is not None else []
+        cur += [None] * (ndim - len(cur))
+        if hasattr(x, "shape") and ndim >= 1 and data > 1:
             for axis, dim in enumerate(x.shape):
-                if dim >= data and dim % data == 0:
-                    spec = [None] * x.ndim
+                if cur[axis] is None and dim >= data and dim % data == 0:
+                    spec = list(cur)
                     spec[axis] = "data"
                     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, NamedSharding(mesh, P(*cur)))
 
     return jax.tree.map(put, opt_state)
 

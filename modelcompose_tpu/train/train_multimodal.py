@@ -302,14 +302,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                 f"(got {type(model.encoders['vision']).__name__})")
     tower_params = {"vision": model.encoders["vision"].params} \
         if tower_train else None
+    # init_train_state applies ZeRO-1 moment sharding over the data axis
+    # when the mesh has one (the DeepSpeed-ZeRO role, reference:
+    # run_finetune_vision_damc.sh:30 zero3 config)
     state = init_train_state(cfg, tc, params, model.projectors,
-                             tower_params=tower_params)
-    if mesh.shape["data"] > 1:
-        # ZeRO-1: moments sharded over the data axis (the DeepSpeed-ZeRO
-        # role, reference: run_finetune_vision_damc.sh:30 zero3 config)
-        import dataclasses as _dc
-        state = _dc.replace(state, opt_state=shard_opt_state(
-            state.opt_state, mesh))
+                             tower_params=tower_params, mesh=mesh)
     tx, _ = make_optimizer(cfg, tc, state.params)
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:
@@ -339,6 +336,16 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     if resume:
         print(f"[train] resuming from {resume}")
         state = restore_step_checkpoint(resume, state)
+        # restore rebuilds the state from host arrays: re-apply the mesh
+        # layout (backbone shards + ZeRO-1 moments) or the resumed run
+        # proceeds replicated and OOMs exactly where sharding mattered
+        import dataclasses as _dc
+        new_params = dict(state.params)
+        new_params["backbone"] = shard_params(new_params["backbone"], mesh)
+        state = _dc.replace(
+            state, params=new_params,
+            opt_state=shard_opt_state(state.opt_state, mesh)
+            if mesh.shape["data"] > 1 else state.opt_state)
 
     rng = np.random.default_rng(args.seed)
     start_step = int(state.step)

@@ -244,13 +244,21 @@ class TrainState:
 
 
 def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
-                     projector_params, tower_params=None) -> TrainState:
+                     projector_params, tower_params=None,
+                     mesh=None) -> TrainState:
+    """mesh with a data axis > 1 additionally applies ZeRO-1: optimizer
+    moments sharded over 'data' (parallel/mesh.shard_opt_state) — kept
+    HERE so every caller (train entry, dryrun, resume path) gets the same
+    layout without repeating the sharding boilerplate."""
     train_params = {"backbone": backbone_params,
                     "projectors": projector_params}
     if tower_params is not None:
         train_params["towers"] = tower_params
     tx, _ = make_optimizer(cfg, tc, train_params)
     opt_state = tx.init(train_params)
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from ..parallel.mesh import shard_opt_state
+        opt_state = shard_opt_state(opt_state, mesh)
     return TrainState(params=train_params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
 
@@ -345,7 +353,7 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
 
 
 def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
-                        attn_impl: str = "auto"):
+                        attn_impl: str = "auto", vision_tower_cfg=None):
     """Gradient accumulation (reference recipe:
     --gradient_accumulation_steps, run_finetune_vision_damc.sh): a jitted
     per-micro-batch grad fn and a jitted apply fn; the caller averages
@@ -359,7 +367,8 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
 
         def loss_fn(p):
             return multimodal_loss_from_features(p, cfg, routing_table,
-                                                 batch, attn_impl)
+                                                 batch, attn_impl,
+                                                 vision_tower_cfg)
 
         return jax.value_and_grad(loss_fn)(train_params)
 

@@ -343,8 +343,6 @@ def test_zero1_sharded_opt_state_matches_replicated():
     parallel/mesh.shard_opt_state) must not change training numerics:
     two steps on a (4,2) mesh produce the same losses as replicated
     moments, and the data-sharded moment layout survives the step."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -354,7 +352,6 @@ def test_zero1_sharded_opt_state_matches_replicated():
     from modelcompose_tpu.core.packing import plan_pack
     from modelcompose_tpu.models.model import MultimodalLM
     from modelcompose_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                                shard_opt_state,
                                                 shard_params)
     from modelcompose_tpu.train.trainer import (TrainConfig,
                                                 init_train_state,
@@ -395,10 +392,8 @@ def test_zero1_sharded_opt_state_matches_replicated():
 
     def run(zero1):
         params = shard_params(host_params, mesh)
-        state = init_train_state(cfg, tc, params, host_proj)
-        if zero1:
-            state = dataclasses.replace(
-                state, opt_state=shard_opt_state(state.opt_state, mesh))
+        state = init_train_state(cfg, tc, params, host_proj,
+                                 mesh=mesh if zero1 else None)
         tx, _ = make_optimizer(cfg, tc, state.params)
         step = make_train_step(cfg, tc, tx, attn_impl="xla")
         losses = []
@@ -422,3 +417,54 @@ def test_zero1_sharded_opt_state_matches_replicated():
                         x.sharding, "spec", P()) and
                     "data" in str(x.sharding.spec)]
     assert data_sharded, "no opt-state leaf kept a data-axis sharding"
+
+
+def test_grad_accum_with_tower_training():
+    """Gradient accumulation composes with vision-tower training: the
+    accum grad fn must receive vision_tower_cfg (the in-graph tower
+    forward needs it) — regression for the accum-branch crash."""
+    import jax
+    import numpy as np
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.train.train_multimodal import make_batch
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_grad_and_apply,
+                                                make_optimizer)
+
+    cfg = tiny_test_config(mm_vision_encoder="test:8x3", mm_hidden_size=8,
+                           mm_projector_type="mlp2x_gelu",
+                           lora_strategy="modal+language",
+                           hidden_size=32, intermediate_size=64,
+                           num_attention_heads=2, num_key_value_heads=2,
+                           dtype="float32")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0,
+                     mm_vision_tower_lr=1e-2)
+    state = init_train_state(cfg, tc, model.params, model.projectors,
+                             tower_params={"vision":
+                                           model.encoders["vision"].params})
+    tx, _ = make_optimizer(cfg, tc, state.params)
+    grad_fn, apply_fn, accumulate = make_grad_and_apply(
+        cfg, tc, tx, vision_tower_cfg=model.encoders["vision"].cfg)
+
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    collated = {
+        "input_ids": [np.array([1, IMG, 7, 8])],
+        "labels": [np.array([-100, -100, 7, 8])],
+        "modal_inputs": {"vision": np.random.RandomState(0).randn(
+            1, 28, 28, 3).astype(np.float32)},
+    }
+    batch, layout = make_batch(model, collated, tower_train=True)
+    loss1, g1 = grad_fn(state.params, batch, layout)
+    loss2, g2 = grad_fn(state.params, batch, layout)
+    total = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    state = apply_fn(state, total)
+    assert np.isfinite(float(loss1)) and int(state.step) == 1
+    # tower grads actually flowed
+    g_tower = np.abs(np.asarray(
+        g1["towers"]["vision"]["layers"]["q"]["w"])).sum()
+    assert g_tower > 0
