@@ -95,7 +95,9 @@ class BatchingEngine:
 class ModelWorker:
     def __init__(self, controller_addr, worker_addr, model_path, model_base,
                  model_name=None, limit_concurrency: int = 5,
-                 no_register: bool = False, loader=None):
+                 no_register: bool = False, loader=None,
+                 continuous_batching: bool = False,
+                 slot_cache_len: int = 1024):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = uuid.uuid4().hex[:6]
@@ -107,8 +109,16 @@ class ModelWorker:
          self.context_len) = loader(model_path, model_base, self.model_name)
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
-        self.engine = BatchingEngine(self._stream_batch,
-                                     max_batch=limit_concurrency)
+        if continuous_batching:
+            # vLLM-style slot scheduling: arrivals join the running packed
+            # generation instead of waiting for the batch to drain
+            from .slot_engine import ContinuousBatchingEngine
+            self.engine = ContinuousBatchingEngine(
+                self.model, self._prepare_request,
+                max_slots=limit_concurrency, cache_len=slot_cache_len)
+        else:
+            self.engine = BatchingEngine(self._stream_batch,
+                                         max_batch=limit_concurrency)
         if not no_register:
             self.register_to_controller()
             self.heart_beat_thread = threading.Thread(
@@ -184,6 +194,16 @@ class ModelWorker:
                 out[modal] = np.concatenate([np.asarray(v) for v in vals],
                                             axis=0)
         return out
+
+    def _prepare_request(self, r):
+        """request dict -> (ids, modal_inputs, max_new, temperature) for
+        the continuous-batching engine."""
+        ids = np.asarray(tokenizer_modal_token(r["prompt"], self.tokenizer),
+                         np.int64)
+        modal_inputs = self.decode_modal_inputs(r.get("modal_inputs"))
+        max_new = min(int(r.get("max_new_tokens", 256)), 1024)
+        temp = float(r.get("temperature", 1.0))
+        return ids, modal_inputs, max_new, temp
 
     def _stream_batch(self, requests, emit):
         """Pack the whole micro-batch — media included — into ONE
@@ -327,6 +347,11 @@ def main():
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the backbone "
                              "Megatron-style over N local chips (ICI)")
+    parser.add_argument("--continuous-batching", action="store_true",
+                        help="slot-based scheduling: arrivals join the "
+                             "running packed generation (serve/"
+                             "slot_engine.py)")
+    parser.add_argument("--slot-cache-len", type=int, default=1024)
     args = parser.parse_args()
     loader = None
     if args.load_8bit or args.fold_decode or args.tp > 1:
@@ -340,7 +365,9 @@ def main():
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_path, args.model_base, args.model_name,
                          args.limit_model_concurrency, args.no_register,
-                         loader=loader)
+                         loader=loader,
+                         continuous_batching=args.continuous_batching,
+                         slot_cache_len=args.slot_cache_len)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

@@ -1,0 +1,191 @@
+"""Continuous batching: requests join a RUNNING packed generation.
+
+The reference worker serializes requests behind a semaphore (reference:
+modelcompose/serve/model_worker.py:230-243) and this framework's
+BatchingEngine coalesces arrivals within a window — but a request arriving
+mid-generation still waits for the whole batch to drain.  This engine goes
+further: a fixed pool of ``max_slots`` decode slots shares ONE preallocated
+KV cache; an arrival is prefilled batch-1, its cache spliced into a free
+slot, and from the next tick it decodes alongside the requests already in
+flight.  Decode is weights-bound, so stepping 8 slots costs almost the
+same HBM traffic as stepping 1 — admission mid-flight converts that slack
+into throughput (vLLM-style scheduling, built on the static-shape
+primitives: no dynamic shapes, one compile per prompt bucket +
+one decode-step program).
+
+Greedy tokens per slot are IDENTICAL to a solo run of the same request:
+rows are independent under per-row kv_len masking
+(tests/test_slot_engine.py pins this).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _splice_slot(big, small, slot):
+    """Write a batch-1 cache/array into row ``slot`` of the pooled buffer
+    (donated: the update is in place, no pooled-cache copy)."""
+    def put(b, s):
+        start = (0,) * b.ndim
+        start = (start[0], slot) + start[2:]
+        return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), start)
+
+    return jax.tree.map(put, big, small)
+
+
+class SlotDecoder:
+    """Model-side half: the pooled cache + per-slot decode state."""
+
+    def __init__(self, model, max_slots: int = 8, cache_len: int = 1024,
+                 kv_quant: bool = False):
+        from ..core.llama import KVCache
+
+        self.model = model
+        self.cfg = model.cfg
+        self.max_slots = max_slots
+        self.cache_len = cache_len
+        self.kv_quant = kv_quant
+        self.cache = KVCache.zeros(self.cfg, max_slots, cache_len,
+                                   quantized=kv_quant)
+        V = self.cfg.vocab_size
+        self.logits = jnp.zeros((max_slots, V), jnp.float32)
+        self.kv_lens = np.ones(max_slots, np.int64)  # host-owned
+        table = np.asarray(model.routing_table)
+        self.table = jnp.asarray(table)
+        # dense-folded / routing-off decode handling as generate_stream
+        self.decode_table = self.table if table[0].any() else None
+
+    def admit(self, slot: int, input_ids, modal_inputs) -> int:
+        """Prefill one request and splice it into ``slot``.  Returns the
+        prompt length (its kv_len)."""
+        from ..core.generate import _prefill
+
+        # pack at exactly the slot-cache bucket: one prefill compile for
+        # the engine's lifetime, and the packed prompt provably fits
+        try:
+            embeds, plan = self.model.prepare_batch(
+                [input_ids], modal_inputs, bucket_len=self.cache_len)
+        except ValueError as e:
+            raise ValueError(
+                f"prompt does not fit the slot cache "
+                f"({self.cache_len}): {e}") from e
+        L = int(plan.lengths[0])
+        if L >= self.cache_len:
+            raise ValueError(
+                f"prompt ({L} packed positions) exceeds the slot cache "
+                f"({self.cache_len})")
+        route_ids = jnp.asarray(plan.route_ids) \
+            if self.cfg.routing_active() else None
+        logits1, cache1 = _prefill(
+            self.model.params, self.cfg, embeds, route_ids, self.table,
+            jnp.asarray(plan.segment_ids),
+            jnp.asarray(plan.lengths, jnp.int32), self.cache_len, "auto",
+            self.kv_quant)
+        self.cache = _splice_slot(self.cache, cache1, slot)
+        self.logits = self.logits.at[slot].set(logits1[0])
+        self.kv_lens[slot] = L
+        return L
+
+    def step(self, tokens: np.ndarray) -> None:
+        """Advance every slot one token.  ``tokens``: [max_slots] int32,
+        sampled host-side (idle slots feed a dummy token — their cache row
+        is fully rewritten at the next admission)."""
+        from ..core.generate import _decode_step
+
+        logits, cache, _ = _decode_step(
+            self.model.params, self.cfg, self.cache,
+            jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(self.kv_lens, jnp.int32), self.decode_table)
+        self.logits, self.cache = logits, cache
+        self.kv_lens += 1
+
+    def host_logits(self) -> np.ndarray:
+        return np.asarray(self.logits, np.float32)
+
+
+class ContinuousBatchingEngine:
+    """Drop-in for BatchingEngine (same ``submit`` -> events-queue API):
+    a scheduler thread admits arrivals into free slots between decode
+    ticks and emits ("token", id) / ("done", None) / ("error", e) per
+    request."""
+
+    def __init__(self, model, prepare, max_slots: int = 8,
+                 cache_len: int = 1024, kv_quant: bool = False,
+                 rng_seed: Optional[int] = None):
+        self.decoder = SlotDecoder(model, max_slots, cache_len, kv_quant)
+        self.prepare = prepare  # request -> (ids, modal_inputs, max_new, temp)
+        self.eos = model.cfg.eos_token_id
+        self._queue: "queue.Queue" = queue.Queue()
+        self._slots: Dict[int, Dict[str, Any]] = {}
+        self._rng = np.random.default_rng(rng_seed)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: dict) -> "queue.Queue":
+        events: "queue.Queue" = queue.Queue()
+        self._queue.put((request, events))
+        return events
+
+    # ------------------------------------------------------------------
+    def _admit_pending(self, block: bool) -> None:
+        while len(self._slots) < self.decoder.max_slots:
+            try:
+                request, events = self._queue.get(
+                    timeout=0.05 if block and not self._slots else 0)
+            except queue.Empty:
+                return
+            slot = next(s for s in range(self.decoder.max_slots)
+                        if s not in self._slots)
+            try:
+                ids, modal_inputs, max_new, temp = self.prepare(request)
+                self.decoder.admit(slot, ids, modal_inputs)
+            except Exception as e:  # noqa: BLE001 — surface per request
+                events.put(("error", e))
+                continue
+            self._slots[slot] = {"events": events, "generated": 0,
+                                 "max_new": max_new, "temp": temp,
+                                 "cancel": request.get("_cancel")}
+            block = False
+
+    def _loop(self) -> None:
+        M = self.decoder.max_slots
+        while True:
+            self._admit_pending(block=True)
+            if not self._slots:
+                continue
+            logits = self.decoder.host_logits()
+            tokens = np.zeros(M, np.int32)
+            for slot in list(self._slots):
+                st = self._slots[slot]
+                if st["cancel"] is not None and st["cancel"].is_set():
+                    st["events"].put(("done", None))
+                    del self._slots[slot]
+                    continue
+                row = logits[slot]
+                if st["temp"] > 1e-4:
+                    p = np.exp((row - row.max()) / st["temp"])
+                    tok = int(self._rng.choice(len(row), p=p / p.sum()))
+                else:
+                    tok = int(row.argmax())
+                tokens[slot] = tok
+                if self.eos is not None and tok == self.eos:
+                    st["events"].put(("done", None))
+                    del self._slots[slot]
+                    continue
+                st["events"].put(("token", tok))
+                st["generated"] += 1
+                if st["generated"] >= st["max_new"]:
+                    st["events"].put(("done", None))
+                    del self._slots[slot]
+            if not self._slots:
+                continue
+            self.decoder.step(tokens)

@@ -1,0 +1,127 @@
+"""Continuous batching (serve/slot_engine.py): slot admission mid-flight,
+greedy-token equality with solo runs, cancellation, worker integration."""
+
+import json
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from modelcompose_tpu.config import tiny_test_config
+from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+from modelcompose_tpu.models.model import MultimodalLM
+from modelcompose_tpu.serve.slot_engine import (ContinuousBatchingEngine,
+                                                SlotDecoder)
+from tests.fake_tokenizer import FakeLlamaTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_test_config(mm_vision_encoder="test:32x2", mm_hidden_size=32,
+                           mm_projector_type="mlp2x_gelu",
+                           eos_token_id=-1)  # random model: no natural EOS
+    return MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+
+
+def _drain(events, n_expected=None, timeout=60.0):
+    toks = []
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            kind, payload = events.get(timeout=1.0)
+        except Exception:
+            continue
+        if kind == "error":
+            raise payload
+        if kind == "done":
+            return toks
+        toks.append(payload)
+    raise TimeoutError(f"stream incomplete: {toks}")
+
+
+def test_staggered_requests_match_solo_greedy(tiny_model):
+    """Request 2 is admitted while request 1 is mid-decode; both emit the
+    exact tokens a solo greedy run produces (rows are independent under
+    per-slot kv_len masking)."""
+    model = tiny_model
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    pixels = np.linspace(-1, 1, 28 * 28 * 3,
+                         dtype=np.float32).reshape(1, 28, 28, 3)
+    r1_ids = np.array([1, IMG, 7, 8])
+    r2_ids = np.array([1, 11, 12, 13, 14])  # text-only
+
+    solo1 = model.generate([r1_ids], {"vision": pixels}, max_new_tokens=8)[0]
+    solo2 = model.generate([r2_ids], {}, max_new_tokens=5)[0]
+
+    def prepare(r):
+        return r["ids"], r["modal_inputs"], r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=4,
+                                      cache_len=64)
+    ev1 = engine.submit({"ids": r1_ids, "modal_inputs": {"vision": pixels},
+                         "max_new": 8})
+    # let r1 get a few decode ticks in before r2 arrives
+    time.sleep(2.0)
+    ev2 = engine.submit({"ids": r2_ids, "modal_inputs": {}, "max_new": 5})
+    toks1 = _drain(ev1)
+    toks2 = _drain(ev2)
+    assert toks1 == solo1, (toks1, solo1)
+    assert toks2 == solo2, (toks2, solo2)
+
+
+def test_cancellation_frees_slot(tiny_model):
+    import threading
+
+    model = tiny_model
+
+    def prepare(r):
+        return r["ids"], {}, r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=2,
+                                      cache_len=64)
+    cancel = threading.Event()
+    ev = engine.submit({"ids": np.array([1, 5, 6]), "max_new": 500,
+                        "_cancel": cancel})
+    kind, _ = ev.get(timeout=60)
+    assert kind == "token"
+    cancel.set()
+    # stream terminates well before 500 tokens
+    toks = _drain(ev, timeout=30)
+    assert len(toks) < 100
+    # the slot is reusable afterwards
+    ev2 = engine.submit({"ids": np.array([1, 9, 9]), "max_new": 3})
+    assert len(_drain(ev2)) == 3
+
+
+def test_prompt_exceeding_slot_cache_errors(tiny_model):
+    model = tiny_model
+
+    def prepare(r):
+        return r["ids"], {}, 4, 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=2,
+                                      cache_len=16)
+    ev = engine.submit({"ids": np.arange(1, 40)})  # 39 tokens > 16 cache
+    kind, payload = ev.get(timeout=60)
+    assert kind == "error"
+    assert "slot cache" in str(payload)
+
+
+def test_worker_continuous_batching_flag(tiny_model):
+    """ModelWorker(continuous_batching=True) streams through the slot
+    engine with the standard wire format."""
+    from modelcompose_tpu.serve.model_worker import ModelWorker
+
+    model = tiny_model
+
+    def loader(mp, mb, name):
+        return FakeLlamaTokenizer(), model, model.modal_processors(), 2048
+
+    worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
+                         no_register=True, loader=loader,
+                         continuous_batching=True, slot_cache_len=64)
+    chunks = list(worker.generate_stream(
+        {"prompt": "hi there", "max_new_tokens": 4, "temperature": 0}))
+    assert all(c.endswith(b"\0") for c in chunks)
+    assert json.loads(chunks[-1][:-1])["error_code"] == 0
