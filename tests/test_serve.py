@@ -327,6 +327,11 @@ def test_media_requests_batch_as_one_packed_generation():
 
     worker = ModelWorker("http://c", "http://w", "m-multimodal", "b",
                          no_register=True, loader=loader)
+    # widen the coalescence window: under CI load the 5 ms default can
+    # miss the second thread's submit and flake the one-batch assertion
+    from modelcompose_tpu.serve.model_worker import BatchingEngine
+    worker.engine = BatchingEngine(worker._stream_batch, max_batch=5,
+                                   batch_wait_ms=300)
 
     import base64
     import io

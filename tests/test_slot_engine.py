@@ -11,8 +11,7 @@ import pytest
 from modelcompose_tpu.config import tiny_test_config
 from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
 from modelcompose_tpu.models.model import MultimodalLM
-from modelcompose_tpu.serve.slot_engine import (ContinuousBatchingEngine,
-                                                SlotDecoder)
+from modelcompose_tpu.serve.slot_engine import ContinuousBatchingEngine
 from tests.fake_tokenizer import FakeLlamaTokenizer
 
 
