@@ -78,3 +78,31 @@ def test_int8_kv_cache_generate_close():
     np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_fp),
                                atol=1e-5)
     _ = out_fp
+
+
+def test_int8_kv_greedy_tokens_match_fp_cache():
+    """The production serving config decodes over an int8 KV cache;
+    greedy tokens must match the fp-cache path (scales factor out of
+    both attention contractions, ops/attention.decode_attention)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modelcompose_tpu.config import ROUTE_CLASS_INDEX, tiny_test_config
+    from modelcompose_tpu.core.generate import generate
+    from modelcompose_tpu.core.llama import init_params
+
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    B, L = 2, 8
+    embeds = jax.random.normal(jax.random.PRNGKey(2),
+                               (B, L, cfg.hidden_size)) * 0.1
+    route_ids = np.zeros((B, L), np.int32)
+    route_ids[:, 2:4] = ROUTE_CLASS_INDEX["vision"]
+    kw = dict(lengths=np.array([L, L - 2], np.int32),
+              route_ids=jnp.asarray(route_ids),
+              routing_table=cfg.routing_table(), max_new_tokens=8,
+              eos_token_id=None)
+    t_fp = generate(params, cfg, embeds, **kw)
+    t_q8 = generate(params, cfg, embeds, kv_quant=True, **kw)
+    assert t_fp == t_q8
