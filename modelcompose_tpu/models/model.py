@@ -62,6 +62,14 @@ class MultimodalLM:
     def modal_processors(self) -> Dict[str, Any]:
         return {m: enc.modal_processor for m, enc in self.encoders.items()}
 
+    def decode_routing_table(self):
+        """Routing table for DECODE steps, or None when the default row
+        is all-zero (dense-folded loader --fold-decode): decode must then
+        skip the adapter branch instead of streaming every LoRA stack
+        multiplied by zero."""
+        table = np.asarray(self.routing_table)
+        return jnp.asarray(table) if table[0].any() else None
+
     def feature_span_len(self, modal: str) -> int:
         """Packed span length for one instance of a modality: projector
         output length (+ temporal flattening for video) + prefix/suffix."""
@@ -186,11 +194,7 @@ class MultimodalLM:
         embeds, plan = self.prepare_batch(input_ids, modal_inputs,
                                           bucket_len=bucket_len)
         table = jnp.asarray(self.routing_table)
-        # A dense-folded model (loader --fold-decode) has an all-zero
-        # default row: decode must then skip the adapter branch entirely
-        # instead of streaming every LoRA stack multiplied by zero.
-        decode_table = table if np.any(np.asarray(self.routing_table)[0]) \
-            else None
+        decode_table = self.decode_routing_table()
         route_ids = jnp.asarray(plan.route_ids) \
             if self.cfg.routing_active() else None
         lengths = jnp.asarray(plan.lengths, jnp.int32)
@@ -213,12 +217,7 @@ class MultimodalLM:
                 if done[b]:
                     tokens[b] = eos if eos is not None else 0
                     continue
-                row = logits_host[b]
-                if temperatures[b] > 1e-4:
-                    p = np.exp((row - row.max()) / temperatures[b])
-                    tok = int(rng.choice(len(row), p=p / p.sum()))
-                else:
-                    tok = int(row.argmax())
+                tok = sample_token(logits_host[b], temperatures[b], rng)
                 tokens[b] = tok
                 if eos is not None and tok == eos:
                     done[b] = True
@@ -252,6 +251,16 @@ class MultimodalLM:
             routing_table=self.routing_table,
             segment_ids=plan.segment_ids, attn_impl=attn_impl)
         return causal_lm_loss(logits, jnp.asarray(plan.labels))
+
+
+def sample_token(row: np.ndarray, temperature: float, rng) -> int:
+    """Host-side per-row sampling shared by the streaming paths
+    (generate_stream, serve/slot_engine): softmax sampling above the
+    greedy threshold, argmax below it."""
+    if temperature > 1e-4:
+        p = np.exp((row - row.max()) / temperature)
+        return int(rng.choice(len(row), p=p / p.sum()))
+    return int(row.argmax())
 
 
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -59,14 +59,15 @@ class SlotDecoder:
         V = self.cfg.vocab_size
         self.logits = jnp.zeros((max_slots, V), jnp.float32)
         self.kv_lens = np.ones(max_slots, np.int64)  # host-owned
-        table = np.asarray(model.routing_table)
-        self.table = jnp.asarray(table)
-        # dense-folded / routing-off decode handling as generate_stream
-        self.decode_table = self.table if table[0].any() else None
+        self.table = jnp.asarray(np.asarray(model.routing_table))
+        self.decode_table = model.decode_routing_table()
 
-    def admit(self, slot: int, input_ids, modal_inputs) -> int:
+    def admit(self, slot: int, input_ids, modal_inputs,
+              max_new: int = 0) -> int:
         """Prefill one request and splice it into ``slot``.  Returns the
-        prompt length (its kv_len)."""
+        prompt length (its kv_len).  Raises when the prompt plus
+        ``max_new`` decode steps cannot fit the slot cache (out-of-range
+        cache writes would silently drop K/V and corrupt generation)."""
         from ..core.generate import _prefill
 
         # pack at exactly the slot-cache bucket: one prefill compile for
@@ -79,7 +80,10 @@ class SlotDecoder:
                 f"prompt does not fit the slot cache "
                 f"({self.cache_len}): {e}") from e
         L = int(plan.lengths[0])
-        if L >= self.cache_len:
+        # reference semantics: clamp the token budget to the remaining
+        # context (reference: model_worker.py:168-172) and only error
+        # when nothing at all fits
+        if self.cache_len - L < 1:
             raise ValueError(
                 f"prompt ({L} packed positions) exceeds the slot cache "
                 f"({self.cache_len})")
@@ -143,49 +147,64 @@ class ContinuousBatchingEngine:
                     timeout=0.05 if block and not self._slots else 0)
             except queue.Empty:
                 return
+            cancel = request.get("_cancel")
+            if cancel is not None and cancel.is_set():
+                events.put(("done", None))  # client gone before admission
+                continue
             slot = next(s for s in range(self.decoder.max_slots)
                         if s not in self._slots)
             try:
                 ids, modal_inputs, max_new, temp = self.prepare(request)
-                self.decoder.admit(slot, ids, modal_inputs)
+                if max_new <= 0:
+                    events.put(("done", None))
+                    continue
+                L = self.decoder.admit(slot, ids, modal_inputs, max_new)
+                max_new = min(max_new, self.decoder.cache_len - L)
             except Exception as e:  # noqa: BLE001 — surface per request
                 events.put(("error", e))
                 continue
             self._slots[slot] = {"events": events, "generated": 0,
                                  "max_new": max_new, "temp": temp,
-                                 "cancel": request.get("_cancel")}
+                                 "cancel": cancel}
             block = False
 
     def _loop(self) -> None:
-        M = self.decoder.max_slots
         while True:
-            self._admit_pending(block=True)
-            if not self._slots:
+            try:
+                self._tick()
+            except Exception as e:  # noqa: BLE001 — device/XLA errors
+                # surface to every in-flight request and keep the
+                # scheduler alive (a dead daemon thread would hang every
+                # future submit; BatchingEngine has the same guard)
+                for st in self._slots.values():
+                    st["events"].put(("error", e))
+                self._slots.clear()
+
+    def _tick(self) -> None:
+        from ..models.model import sample_token
+
+        self._admit_pending(block=True)
+        if not self._slots:
+            return
+        logits = self.decoder.host_logits()
+        tokens = np.zeros(self.decoder.max_slots, np.int32)
+        for slot in list(self._slots):
+            st = self._slots[slot]
+            if st["cancel"] is not None and st["cancel"].is_set():
+                st["events"].put(("done", None))
+                del self._slots[slot]
                 continue
-            logits = self.decoder.host_logits()
-            tokens = np.zeros(M, np.int32)
-            for slot in list(self._slots):
-                st = self._slots[slot]
-                if st["cancel"] is not None and st["cancel"].is_set():
-                    st["events"].put(("done", None))
-                    del self._slots[slot]
-                    continue
-                row = logits[slot]
-                if st["temp"] > 1e-4:
-                    p = np.exp((row - row.max()) / st["temp"])
-                    tok = int(self._rng.choice(len(row), p=p / p.sum()))
-                else:
-                    tok = int(row.argmax())
-                tokens[slot] = tok
-                if self.eos is not None and tok == self.eos:
-                    st["events"].put(("done", None))
-                    del self._slots[slot]
-                    continue
-                st["events"].put(("token", tok))
-                st["generated"] += 1
-                if st["generated"] >= st["max_new"]:
-                    st["events"].put(("done", None))
-                    del self._slots[slot]
-            if not self._slots:
+            tok = sample_token(logits[slot], st["temp"], self._rng)
+            tokens[slot] = tok
+            if self.eos is not None and tok == self.eos:
+                st["events"].put(("done", None))
+                del self._slots[slot]
                 continue
-            self.decoder.step(tokens)
+            st["events"].put(("token", tok))
+            st["generated"] += 1
+            if st["generated"] >= st["max_new"]:
+                st["events"].put(("done", None))
+                del self._slots[slot]
+        if not self._slots:
+            return
+        self.decoder.step(tokens)

@@ -42,8 +42,7 @@ from ..data.conversation import conv_templates
 from ..data.dataset import DataCollatorForSupervisedDataset, MultimodalDataset
 from ..models.model import MultimodalLM
 from ..parallel.mesh import (batch_sharding, mesh_for_batch,
-                             shard_encoder_features, shard_opt_state,
-                             shard_params)
+                             shard_encoder_features, shard_params)
 from .checkpoint import (latest_checkpoint, restore_step_checkpoint,
                          save_adapter_checkpoint, save_projector_checkpoint,
                          save_step_checkpoint)
@@ -311,7 +310,10 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:
         from .trainer import make_grad_and_apply
-        grad_fn, apply_fn, accumulate = make_grad_and_apply(cfg, tc, tx)
+        grad_fn, apply_fn, accumulate = make_grad_and_apply(
+            cfg, tc, tx,
+            vision_tower_cfg=model.encoders["vision"].cfg
+            if tower_train else None)
         micro_grads = []
 
         def step_fn(state, batch, layout):
@@ -335,17 +337,34 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     resume = latest_checkpoint(args.output_dir)
     if resume:
         print(f"[train] resuming from {resume}")
-        state = restore_step_checkpoint(resume, state)
-        # restore rebuilds the state from host arrays: re-apply the mesh
-        # layout (backbone shards + ZeRO-1 moments) or the resumed run
-        # proceeds replicated and OOMs exactly where sharding mattered
+        # restore rebuilds the state from host arrays: re-place every leaf
+        # with the PRE-restore state's sharding (the freshly-initialized
+        # state already carries the exact mesh layout — backbone shards AND
+        # ZeRO-1 moments with their model-axis merge, which re-deriving
+        # from the host arrays would lose) or the resumed run proceeds
+        # replicated and OOMs exactly where sharding mattered
         import dataclasses as _dc
-        new_params = dict(state.params)
-        new_params["backbone"] = shard_params(new_params["backbone"], mesh)
+
+        import jax
+
+        def _replace_like(t, x):
+            # Only mesh-placed leaves (NamedSharding) are re-placed;
+            # single-device leaves stay as host arrays so jit remains
+            # free to place them (committing them to device 0 would
+            # conflict with the mesh-committed backbone).
+            sh = getattr(t, "sharding", None)
+            if isinstance(sh, jax.sharding.NamedSharding):
+                return jax.device_put(x, sh)
+            return x
+
+        template = state
+        restored = restore_step_checkpoint(resume, state)
         state = _dc.replace(
-            state, params=new_params,
-            opt_state=shard_opt_state(state.opt_state, mesh)
-            if mesh.shape["data"] > 1 else state.opt_state)
+            restored,
+            params=jax.tree.map(_replace_like, template.params,
+                                restored.params),
+            opt_state=jax.tree.map(_replace_like, template.opt_state,
+                                   restored.opt_state))
 
     rng = np.random.default_rng(args.seed)
     start_step = int(state.step)

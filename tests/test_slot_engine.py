@@ -78,19 +78,24 @@ def test_cancellation_frees_slot(tiny_model):
         return r["ids"], {}, r["max_new"], 0.0
 
     engine = ContinuousBatchingEngine(model, prepare, max_slots=2,
-                                      cache_len=64)
+                                      cache_len=256)
     cancel = threading.Event()
-    ev = engine.submit({"ids": np.array([1, 5, 6]), "max_new": 500,
+    ev = engine.submit({"ids": np.array([1, 5, 6]), "max_new": 200,
                         "_cancel": cancel})
     kind, _ = ev.get(timeout=60)
     assert kind == "token"
     cancel.set()
-    # stream terminates well before 500 tokens
+    # stream terminates well before 200 tokens
     toks = _drain(ev, timeout=30)
     assert len(toks) < 100
     # the slot is reusable afterwards
     ev2 = engine.submit({"ids": np.array([1, 9, 9]), "max_new": 3})
     assert len(_drain(ev2)) == 3
+    # reference clamp semantics: an oversize token budget is clamped to
+    # the remaining slot context, not rejected
+    ev3 = engine.submit({"ids": np.array([1, 5, 6]), "max_new": 500})
+    toks3 = _drain(ev3, timeout=120)
+    assert 0 < len(toks3) <= 256 - 3
 
 
 def test_prompt_exceeding_slot_cache_errors(tiny_model):
