@@ -168,8 +168,10 @@ def composed_longctx(steps=128):
     decode(logits, cache)
     t_decode = time.perf_counter() - t0
 
+    # attention: QK^T and PV are each 2*(L^2/2)*H flops under the causal
+    # mask -> 2*L^2*H per layer total
     flops = _matmul_flops_per_token(cfg, len(active)) * L_valid \
-        + cfg.num_hidden_layers * 2 * L_valid * L_valid * cfg.hidden_size // 2
+        + cfg.num_hidden_layers * 2 * L_valid * L_valid * cfg.hidden_size
     mfu = flops / t_prefill / 197e12   # v5e bf16 peak 197 TFLOP/s
     return {
         "longctx_decode_tok_per_sec": round(steps / t_decode, 2),

@@ -21,9 +21,9 @@ import uuid
 import numpy as np
 
 from ..data import conversation as conversation_lib
-from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.conversation import conv_templates
 from ..data.dataset import get_chunk
-from ..data.tokenization import tokenizer_modal_token
+from .generation_utils import generate_text, stop_str_for
 
 
 def eval_model(args, loaded=None):
@@ -40,9 +40,7 @@ def eval_model(args, loaded=None):
     os.makedirs(os.path.dirname(args.answers_file) or ".", exist_ok=True)
 
     conv_template = conv_templates[args.conv_mode]
-    stop_str = conv_template.sep \
-        if conv_template.sep_style != SeparatorStyle.TWO \
-        else conv_template.sep2
+    stop_str = stop_str_for(conv_template)
 
     from PIL import Image
     from ..data.image_processing import process_images
@@ -63,15 +61,12 @@ def eval_model(args, loaded=None):
             conv = conv_template.copy()
             conv.append_message(conv.roles[0], qs)
             conv.append_message(conv.roles[1], None)
-            ids = np.asarray(tokenizer_modal_token(conv.get_prompt(),
-                                                   tokenizer), np.int64)
-            tokens = model.generate(
-                [ids], modal_inputs, max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature
-                if args.temperature > 1e-4 else 0.0, rng=rng)[0]
-            text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
-            if stop_str and text.endswith(stop_str):
-                text = text[:-len(stop_str)].strip()
+            rng, sub = jax.random.split(rng)
+            text = generate_text(model, tokenizer, conv.get_prompt(),
+                                 modal_inputs,
+                                 temperature=args.temperature,
+                                 max_new_tokens=args.max_new_tokens,
+                                 rng=sub, stop_str=stop_str)
             ans_file.write(json.dumps({
                 "question_id": q["question_id"],
                 "prompt": q["text"],

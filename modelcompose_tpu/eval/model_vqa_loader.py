@@ -23,7 +23,7 @@ import uuid
 import numpy as np
 
 from ..data import conversation as conversation_lib
-from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.conversation import conv_templates
 from ..data.dataset import get_chunk
 from ..data.loader import PrefetchLoader
 from ..data.tokenization import tokenizer_modal_token
@@ -81,10 +81,8 @@ def eval_model(args, loaded=None):
     questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
     os.makedirs(os.path.dirname(args.answers_file) or ".", exist_ok=True)
 
-    conv_template = conv_templates[args.conv_mode]
-    stop_str = conv_template.sep \
-        if conv_template.sep_style != SeparatorStyle.TWO \
-        else conv_template.sep2
+    from .generation_utils import stop_str_for
+    stop_str = stop_str_for(conv_templates[args.conv_mode])
 
     dataset = _QuestionDataset(questions, args.image_folder, tokenizer,
                                processors["vision"], args.conv_mode,

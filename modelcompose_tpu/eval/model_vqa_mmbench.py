@@ -27,9 +27,9 @@ import uuid
 import numpy as np
 
 from ..data import conversation as conversation_lib
-from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.conversation import conv_templates
 from ..data.dataset import get_chunk
-from ..data.tokenization import tokenizer_modal_token
+from .generation_utils import generate_text, stop_str_for
 
 all_options = ["A", "B", "C", "D"]
 
@@ -81,9 +81,7 @@ def eval_model(args, loaded=None):
     os.makedirs(os.path.dirname(args.answers_file) or ".", exist_ok=True)
 
     conv_template = conv_templates[args.conv_mode]
-    stop_str = conv_template.sep \
-        if conv_template.sep_style != SeparatorStyle.TWO \
-        else conv_template.sep2
+    stop_str = stop_str_for(conv_template)
 
     from ..data.image_processing import process_images
 
@@ -96,7 +94,13 @@ def eval_model(args, loaded=None):
             num_rounds = len(options) if args.all_rounds else 1
 
             for round_idx in range(num_rounds):
+                # pandas reads the index column as int64; the MMBench
+                # grader joins on it, so '42' != 42 would drop every row
                 idx = row["index"]
+                try:
+                    idx = int(idx)
+                except (TypeError, ValueError):
+                    pass
                 question = row["question"]
                 hint = row.get("hint")
                 image = load_image_from_base64(row["image"])
@@ -118,21 +122,14 @@ def eval_model(args, loaded=None):
                 conv = conv_template.copy()
                 conv.append_message(conv.roles[0], qs)
                 conv.append_message(conv.roles[1], None)
-                ids = np.asarray(
-                    tokenizer_modal_token(conv.get_prompt(), tokenizer),
-                    np.int64)
                 modal_inputs = {"vision": process_images(
                     [image], processors["vision"], image_aspect_ratio="pad")}
                 rng, sub = jax.random.split(rng)
-                tokens = model.generate(
-                    [ids], modal_inputs, max_new_tokens=args.max_new_tokens,
-                    temperature=args.temperature
-                    if args.temperature > 1e-4 else 0.0, rng=sub)[0]
-                text = tokenizer.decode(
-                    tokens, skip_special_tokens=True).strip()
-                if stop_str and text.endswith(stop_str):
-                    text = text[:-len(stop_str)]
-                text = text.strip()
+                text = generate_text(
+                    model, tokenizer, conv.get_prompt(), modal_inputs,
+                    temperature=args.temperature,
+                    max_new_tokens=args.max_new_tokens, rng=sub,
+                    stop_str=stop_str)
 
                 ans_file.write(json.dumps({
                     "question_id": idx,

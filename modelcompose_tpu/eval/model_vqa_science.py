@@ -23,22 +23,9 @@ import uuid
 import numpy as np
 
 from ..data import conversation as conversation_lib
-from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.conversation import conv_templates
 from ..data.dataset import get_chunk
-from ..data.tokenization import tokenizer_modal_token
-
-
-def _generate(model, tokenizer, prompt, modal_inputs, args, rng,
-              max_new_tokens, stop_str):
-    ids = np.asarray(tokenizer_modal_token(prompt, tokenizer), np.int64)
-    tokens = model.generate(
-        [ids], modal_inputs, max_new_tokens=max_new_tokens,
-        temperature=args.temperature if args.temperature > 1e-4 else 0.0,
-        rng=rng)[0]
-    text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
-    if stop_str and text.endswith(stop_str):
-        text = text[:-len(stop_str)]
-    return text.strip()
+from .generation_utils import generate_text, stop_str_for
 
 
 def eval_model(args, loaded=None):
@@ -56,9 +43,7 @@ def eval_model(args, loaded=None):
     os.makedirs(os.path.dirname(args.answers_file) or ".", exist_ok=True)
 
     conv_template = conv_templates[args.conv_mode]
-    stop_str = conv_template.sep \
-        if conv_template.sep_style != SeparatorStyle.TWO \
-        else conv_template.sep2
+    stop_str = stop_str_for(conv_template)
 
     from PIL import Image
     from ..data.image_processing import process_images
@@ -92,18 +77,21 @@ def eval_model(args, loaded=None):
             conv.append_message(conv.roles[1], None)
             prompt = conv.get_prompt()
             rng, sub = jax.random.split(rng)
-            outputs = _generate(model, tokenizer, prompt, modal_inputs, args,
-                                sub, args.max_new_tokens, stop_str)
+            outputs = generate_text(model, tokenizer, prompt, modal_inputs,
+                                    temperature=args.temperature,
+                                    max_new_tokens=args.max_new_tokens,
+                                    rng=sub, stop_str=stop_str)
 
             if args.answer_prompter:
                 # second turn: re-query for the bare option letter
                 # (reference: model_vqa_science.py:99-121)
                 outputs_reasoning = outputs
                 rng, sub = jax.random.split(rng)
-                answer = _generate(
+                answer = generate_text(
                     model, tokenizer,
                     prompt + outputs_reasoning + " ###\nANSWER:",
-                    modal_inputs, args, sub, 64, stop_str)
+                    modal_inputs, temperature=args.temperature,
+                    max_new_tokens=64, rng=sub, stop_str=stop_str)
                 outputs = outputs_reasoning + "\n The answer is " + answer
 
             ans_file.write(json.dumps({

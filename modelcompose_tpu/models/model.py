@@ -207,6 +207,12 @@ class MultimodalLM:
         eos = self.cfg.eos_token_id
         rng = np.random.default_rng(rng_seed)
         done = [False] * B
+        for b in range(B):  # a zero token budget is already done
+            if max_new_tokens[b] <= 0:
+                done[b] = True
+                emit(b, ("done", None))
+        if all(done):
+            return
         for step in range(max(max_new_tokens)):
             logits_host = np.asarray(logits, np.float32)  # [B, V] sync
             tokens = np.zeros(B, np.int32)

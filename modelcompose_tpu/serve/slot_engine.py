@@ -62,12 +62,12 @@ class SlotDecoder:
         self.table = jnp.asarray(np.asarray(model.routing_table))
         self.decode_table = model.decode_routing_table()
 
-    def admit(self, slot: int, input_ids, modal_inputs,
-              max_new: int = 0) -> int:
+    def admit(self, slot: int, input_ids, modal_inputs) -> int:
         """Prefill one request and splice it into ``slot``.  Returns the
-        prompt length (its kv_len).  Raises when the prompt plus
-        ``max_new`` decode steps cannot fit the slot cache (out-of-range
-        cache writes would silently drop K/V and corrupt generation)."""
+        prompt length (its kv_len).  Raises when the prompt alone cannot
+        fit the slot cache; the ENGINE clamps the caller's token budget
+        to ``cache_len - L`` (reference max-context clamp semantics) so
+        decode never writes past the buffer."""
         from ..core.generate import _prefill
 
         # pack at exactly the slot-cache bucket: one prefill compile for
@@ -158,7 +158,7 @@ class ContinuousBatchingEngine:
                 if max_new <= 0:
                     events.put(("done", None))
                     continue
-                L = self.decoder.admit(slot, ids, modal_inputs, max_new)
+                L = self.decoder.admit(slot, ids, modal_inputs)
                 max_new = min(max_new, self.decoder.cache_len - L)
             except Exception as e:  # noqa: BLE001 — surface per request
                 events.put(("error", e))

@@ -169,9 +169,21 @@ def _scale_tower_layerwise(n_layers: int, lr: float, decay: float):
 
 def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
                      tc: TrainConfig) -> Dict[str, Any]:
-    """Label pytree over {'backbone':..., 'projectors':...}."""
+    """Label pytree over {'backbone':..., 'projectors':...}.
+
+    lora_strategy semantics mirror the reference exactly
+    (train_multimodal.py:436-466): the STRING 'none' freezes the LLM
+    (projectors + soft tokens only), while lora_strategy **absent**
+    (None) skips the freeze entirely — the legacy full-finetune recipe
+    (scripts/pretrain.sh-era): every backbone weight trains at
+    learning_rate."""
     backbone = train_params["backbone"]
-    labels = jax.tree.map(lambda _: "frozen", train_params)
+    full_finetune = (cfg.lora_strategy is None
+                     and not tc.tune_mm_mlp_adapter)
+    if full_finetune:
+        labels = jax.tree.map(lambda _: "base", train_params)
+    else:
+        labels = jax.tree.map(lambda _: "frozen", train_params)
     lb = labels["backbone"]
     lora_on = not tc.tune_mm_mlp_adapter and \
         cfg.lora_strategy not in (None, "none")
@@ -214,6 +226,7 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
                              _scale_adapter_rows(row_lrs))
     transforms = {
         "frozen": optax.set_to_zero(),
+        "base": group(tc.learning_rate),  # full finetune (strategy absent)
         "lora": lora_chain,
         "proj": group(tc.proj_lr()),
         "soft": group(tc.learning_rate),

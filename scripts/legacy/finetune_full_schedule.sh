@@ -18,7 +18,6 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_vision_encoder openai/clip-vit-large-patch14 \
     --mm_vision_select_layer -2 \
     --pretrain_mm_mlp_adapter ./checkpoints/llava-pretrain/mm_projector.bin \
-    --lora_strategy none \
     --bf16 True \
     --output_dir ./checkpoints/llava-finetune_full_schedule \
     --num_train_epochs 3 \

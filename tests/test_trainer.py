@@ -468,3 +468,38 @@ def test_grad_accum_with_tower_training():
     g_tower = np.abs(np.asarray(
         g1["towers"]["vision"]["layers"]["q"]["w"])).sum()
     assert g_tower > 0
+
+
+def test_full_finetune_when_strategy_absent():
+    """lora_strategy ABSENT (None) mirrors the reference's no-freeze path
+    (train_multimodal.py:436: the freeze only runs when a strategy is
+    given): base backbone weights train at learning_rate — the legacy
+    full-finetune recipe (scripts/legacy/finetune.sh).  The STRING 'none'
+    still freezes the LLM."""
+    import jax
+    import numpy as np
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                make_optimizer,
+                                                trainable_labels)
+
+    from modelcompose_tpu.models.model import MultimodalLM
+
+    tc = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0)
+
+    cfg_none = tiny_test_config(mm_vision_encoder="test:8x1",
+                                mm_hidden_size=8, lora_strategy=None)
+    model = MultimodalLM.random_init(cfg_none, jax.random.PRNGKey(0))
+    params = {"backbone": model.params, "projectors": model.projectors}
+    labels = trainable_labels(params, cfg_none, tc)
+    assert labels["backbone"]["layers"]["attn"]["q"]["w"] == "base"
+    assert labels["backbone"]["embed_tokens"] == "base"
+    tx, _ = make_optimizer(cfg_none, tc, params)  # builds without error
+
+    cfg_str = tiny_test_config(mm_vision_encoder="test:8x1",
+                               mm_hidden_size=8, lora_strategy="none")
+    labels2 = trainable_labels(
+        {"backbone": model.params, "projectors": model.projectors},
+        cfg_str, tc)
+    assert labels2["backbone"]["layers"]["attn"]["q"]["w"] == "frozen"
