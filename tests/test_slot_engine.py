@@ -129,3 +129,19 @@ def test_worker_continuous_batching_flag(tiny_model):
         {"prompt": "hi there", "max_new_tokens": 4, "temperature": 0}))
     assert all(c.endswith(b"\0") for c in chunks)
     assert json.loads(chunks[-1][:-1])["error_code"] == 0
+
+
+def test_requests_beyond_slot_capacity_queue_and_complete(tiny_model):
+    """max_slots=1: three concurrent submissions serialize through the one
+    slot and all complete with their full token budgets."""
+    model = tiny_model
+
+    def prepare(r):
+        return r["ids"], {}, r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=1,
+                                      cache_len=64)
+    evs = [engine.submit({"ids": np.array([1, 5 + i, 6]), "max_new": 4})
+           for i in range(3)]
+    outs = [_drain(ev, timeout=120) for ev in evs]
+    assert all(len(o) == 4 for o in outs), [len(o) for o in outs]
