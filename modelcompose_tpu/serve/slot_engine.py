@@ -70,11 +70,16 @@ class SlotDecoder:
         decode never writes past the buffer."""
         from ..core.generate import _prefill
 
-        # pack at exactly the slot-cache bucket: one prefill compile for
-        # the engine's lifetime, and the packed prompt provably fits
+        # pack at the smallest standard bucket (short prompts then stall
+        # the running decode ticks for half the prefill time or less);
+        # fall back to the slot-cache bucket when the standard pick
+        # exceeds it — one compile per distinct bucket, all bounded
         try:
-            embeds, plan = self.model.prepare_batch(
-                [input_ids], modal_inputs, bucket_len=self.cache_len)
+            embeds, plan = self.model.prepare_batch([input_ids],
+                                                    modal_inputs)
+            if embeds.shape[1] > self.cache_len:
+                embeds, plan = self.model.prepare_batch(
+                    [input_ids], modal_inputs, bucket_len=self.cache_len)
         except ValueError as e:
             raise ValueError(
                 f"prompt does not fit the slot cache "
