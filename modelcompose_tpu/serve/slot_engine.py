@@ -16,6 +16,11 @@ one decode-step program).
 Greedy tokens per slot are IDENTICAL to a solo run of the same request:
 rows are independent under per-row kv_len masking
 (tests/test_slot_engine.py pins this).
+
+Future work: chunked prefill (splitting an admission's prefill into
+~256-token pieces interleaved with decode ticks) would cut the per-
+admission stall further; it needs multi-query attention against the
+partially-written cache, which the decode path does not yet implement.
 """
 
 from __future__ import annotations
