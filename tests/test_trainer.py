@@ -503,3 +503,61 @@ def test_full_finetune_when_strategy_absent():
         {"backbone": model.params, "projectors": model.projectors},
         cfg_str, tc)
     assert labels2["backbone"]["layers"]["attn"]["q"]["w"] == "frozen"
+
+
+def test_full_finetune_train_step_moves_base_weights():
+    """End-to-end: a train step with lora_strategy absent updates BASE
+    backbone weights (the legacy full-finetune recipe), while the same
+    step with the string 'none' leaves them frozen."""
+    import jax
+    import numpy as np
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.constants import MODAL_TOKEN_INDEXES
+    from modelcompose_tpu.core.packing import plan_pack
+    from modelcompose_tpu.models.model import MultimodalLM
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+
+    def one_step(strategy):
+        cfg = tiny_test_config(mm_vision_encoder="test:8x1",
+                               mm_hidden_size=8,
+                               mm_projector_type="mlp2x_gelu",
+                               lora_strategy=strategy, dtype="float32")
+        model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+        w0 = np.asarray(model.params["layers"]["attn"]["q"]["w"]).copy()
+        tc = TrainConfig(learning_rate=1e-3, total_steps=4,
+                         warmup_ratio=0.0)
+        state = init_train_state(cfg, tc, model.params, model.projectors)
+        tx, _ = make_optimizer(cfg, tc, state.params)
+        step = make_train_step(cfg, tc, tx, attn_impl="xla", donate=False)
+
+        IMG = MODAL_TOKEN_INDEXES["vision"]
+        pixels = np.zeros((1, 28, 28, 3), np.float32)
+        feats = np.asarray(model.encoders["vision"].encode(pixels))
+        ids = [np.array([1, IMG, 7, 8])]
+        labels = [np.array([-100, -100, 7, 8])]
+        span = model.feature_span_len("vision")
+        plan = plan_pack(ids, {"vision": (1, span)}, labels=labels,
+                         bucket_len=16)
+        import jax.numpy as jnp
+        batch = {"encoder_features": {"vision": jnp.asarray(feats)},
+                 "token_ids": jnp.asarray(plan.token_ids),
+                 "feat_idx": jnp.asarray(plan.feat_idx),
+                 "is_feat": jnp.asarray(plan.is_feat),
+                 "route_ids": jnp.asarray(plan.route_ids),
+                 "labels": jnp.asarray(plan.labels),
+                 "segment_ids": jnp.asarray(plan.segment_ids)}
+        # two steps: the warmup multiplier is 0 at step 0
+        state, loss = step(state, batch, tuple(plan.feat_layout))
+        state, loss = step(state, batch, tuple(plan.feat_layout))
+        w1 = np.asarray(state.params["backbone"]["layers"]["attn"]["q"]["w"])
+        return float(np.abs(w1 - w0).max()), float(loss)
+
+    delta_full, loss_full = one_step(None)
+    delta_frozen, _ = one_step("none")
+    assert delta_full > 0, "full finetune did not move base weights"
+    assert delta_frozen == 0, "strategy 'none' must freeze base weights"
+    assert np.isfinite(loss_full)
