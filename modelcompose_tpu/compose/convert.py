@@ -90,6 +90,37 @@ def hf_llama_to_params(state: Dict[str, np.ndarray], cfg: ModelConfig,
     return jax.tree.map(lambda x: jnp.asarray(x, target), params)
 
 
+def params_to_hf_llama(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of hf_llama_to_params for the BASE weights: a flat HF Llama
+    state dict (torch [out, in] layout) from the stacked pytree.  Used by
+    the full-finetune export — adapters/projectors go through
+    params_to_adapter separately.  Roundtrip-exact with
+    hf_llama_to_params (tests/test_convert.py)."""
+    N = cfg.num_hidden_layers
+    lp = params["layers"]
+    out: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["embed_tokens"]),
+        "model.norm.weight": np.asarray(params["norm"]),
+        "lm_head.weight": np.asarray(params["lm_head"]).T,
+    }
+    names = {("attn", "q"): "self_attn.q_proj",
+             ("attn", "k"): "self_attn.k_proj",
+             ("attn", "v"): "self_attn.v_proj",
+             ("attn", "o"): "self_attn.o_proj",
+             ("mlp", "gate"): "mlp.gate_proj",
+             ("mlp", "up"): "mlp.up_proj",
+             ("mlp", "down"): "mlp.down_proj"}
+    for i in range(N):
+        out[f"model.layers.{i}.input_layernorm.weight"] = \
+            np.asarray(lp["input_layernorm"][i])
+        out[f"model.layers.{i}.post_attention_layernorm.weight"] = \
+            np.asarray(lp["post_attention_layernorm"][i])
+        for (grp, name), hf in names.items():
+            out[f"model.layers.{i}.{hf}.weight"] = \
+                np.asarray(lp[grp][name]["w"][i]).T
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Projector key mapping (reference: multimodal_projector/builder.py)
 # ---------------------------------------------------------------------------

@@ -191,6 +191,13 @@ class MultimodalLM:
         from ..core.generate import _decode_step, _prefill
 
         B = len(input_ids)
+        done = [False] * B
+        for b in range(B):  # a zero/negative token budget is already done
+            if max_new_tokens[b] <= 0:
+                done[b] = True
+                emit(b, ("done", None))
+        if all(done):
+            return
         embeds, plan = self.prepare_batch(input_ids, modal_inputs,
                                           bucket_len=bucket_len)
         table = jnp.asarray(self.routing_table)
@@ -198,7 +205,7 @@ class MultimodalLM:
         route_ids = jnp.asarray(plan.route_ids) \
             if self.cfg.routing_active() else None
         lengths = jnp.asarray(plan.lengths, jnp.int32)
-        cache_len = int(embeds.shape[1]) + max(max_new_tokens)
+        cache_len = int(embeds.shape[1]) + max(0, *max_new_tokens)
         logits, cache = _prefill(
             self.params, self.cfg, embeds, route_ids, table,
             jnp.asarray(plan.segment_ids), lengths, cache_len, "auto",
@@ -206,13 +213,6 @@ class MultimodalLM:
         kv_lens = lengths
         eos = self.cfg.eos_token_id
         rng = np.random.default_rng(rng_seed)
-        done = [False] * B
-        for b in range(B):  # a zero token budget is already done
-            if max_new_tokens[b] <= 0:
-                done[b] = True
-                emit(b, ("done", None))
-        if all(done):
-            return
         for step in range(max(max_new_tokens)):
             logits_host = np.asarray(logits, np.float32)  # [B, V] sync
             tokens = np.zeros(B, np.int32)

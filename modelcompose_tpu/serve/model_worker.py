@@ -201,7 +201,7 @@ class ModelWorker:
         ids = np.asarray(tokenizer_modal_token(r["prompt"], self.tokenizer),
                          np.int64)
         modal_inputs = self.decode_modal_inputs(r.get("modal_inputs"))
-        max_new = min(int(r.get("max_new_tokens", 256)), 1024)
+        max_new = max(0, min(int(r.get("max_new_tokens", 256)), 1024))
         temp = float(r.get("temperature", 1.0))
         return ids, modal_inputs, max_new, temp
 
@@ -216,7 +216,7 @@ class ModelWorker:
                 tokenizer_modal_token(r["prompt"], self.tokenizer),
                 np.int64))
         merged = self._merge_modal_inputs(decoded)
-        max_new = [min(int(r.get("max_new_tokens", 256)), 1024)
+        max_new = [max(0, min(int(r.get("max_new_tokens", 256)), 1024))
                    for r in requests]
         temps = [float(r.get("temperature", 1.0)) for r in requests]
         cancels = [r.get("_cancel") for r in requests]

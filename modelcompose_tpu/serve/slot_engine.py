@@ -78,17 +78,24 @@ class SlotDecoder:
         # pack at the smallest standard bucket (short prompts then stall
         # the running decode ticks for half the prefill time or less);
         # fall back to the slot-cache bucket when the standard pick
-        # exceeds it — one compile per distinct bucket, all bounded
+        # exceeds it OR no standard bucket holds the prompt — one compile
+        # per distinct bucket, all bounded.  (The fallback re-encodes the
+        # media; it only fires for cache_len below the smallest standard
+        # bucket or prompts beyond the largest.)
+        embeds = None
         try:
             embeds, plan = self.model.prepare_batch([input_ids],
                                                     modal_inputs)
-            if embeds.shape[1] > self.cache_len:
+        except ValueError:
+            pass
+        if embeds is None or embeds.shape[1] > self.cache_len:
+            try:
                 embeds, plan = self.model.prepare_batch(
                     [input_ids], modal_inputs, bucket_len=self.cache_len)
-        except ValueError as e:
-            raise ValueError(
-                f"prompt does not fit the slot cache "
-                f"({self.cache_len}): {e}") from e
+            except ValueError as e:
+                raise ValueError(
+                    f"prompt does not fit the slot cache "
+                    f"({self.cache_len}): {e}") from e
         L = int(plan.lengths[0])
         # reference semantics: clamp the token budget to the remaining
         # context (reference: model_worker.py:168-172) and only error

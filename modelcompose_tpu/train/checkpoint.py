@@ -117,6 +117,21 @@ def save_adapter_checkpoint(output_dir: str, cfg: ModelConfig,
     cfg.save(os.path.join(output_dir, "config.json"))
 
 
+def save_full_checkpoint(output_dir: str, cfg: ModelConfig,
+                         backbone_params, projector_params) -> None:
+    """Full-finetune export (lora_strategy absent — the legacy recipe
+    where every backbone weight trains, reference scripts/finetune.sh
+    saving the whole model): the BASE weights go out as an HF-Llama
+    ``model.safetensors`` (reloadable as a --model_name_or_path /
+    model_base), alongside the usual adapter/projector file."""
+    from ..compose.convert import params_to_hf_llama
+    os.makedirs(output_dir, exist_ok=True)
+    state = params_to_hf_llama(backbone_params, cfg)
+    save_state(state, os.path.join(output_dir, "model.safetensors"))
+    save_adapter_checkpoint(output_dir, cfg, backbone_params,
+                            projector_params)
+
+
 def save_projector_checkpoint(output_dir: str, cfg: ModelConfig,
                               projector_params) -> None:
     """Stage-1 projector-only export (reference:

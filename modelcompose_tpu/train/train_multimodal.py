@@ -411,7 +411,14 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     if args.tune_mm_mlp_adapter:
         save_projector_checkpoint(args.output_dir, cfg, projectors)
     else:
-        save_adapter_checkpoint(args.output_dir, cfg, backbone, projectors)
+        if cfg.lora_strategy is None:
+            # full finetune: the base weights themselves changed — export
+            # the whole backbone, not just the adapter overlay
+            from .checkpoint import save_full_checkpoint
+            save_full_checkpoint(args.output_dir, cfg, backbone, projectors)
+        else:
+            save_adapter_checkpoint(args.output_dir, cfg, backbone,
+                                    projectors)
     return {"final_loss": losses[-1] if losses else None,
             "steps": step_idx, "losses": losses}
 

@@ -208,6 +208,8 @@ void mc_fps(const float* xyz, int64_t n, int npoint, int start_index,
 // (~65 clouds/s).
 void mc_knn(const float* xyz, int64_t n, const float* centers, int64_t m,
             int k, int32_t* out_idx) {
+  if (k <= 0 || n <= 0 || m <= 0) return;  // nth_element UB guard
+  if (k > n) k = static_cast<int>(n);
   const int nt = std::max(
       1, std::min<int>(static_cast<int>(m),
                        std::thread::hardware_concurrency()));

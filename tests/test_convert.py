@@ -140,3 +140,31 @@ def test_adapter_load_fills_projector_params():
         np.asarray(apply_projector("mlp2x_gelu", proj, x)),
         np.asarray(apply_projector("mlp2x_gelu", fresh_proj["vision"], x)),
         atol=1e-6)
+
+
+def test_params_to_hf_llama_roundtrip():
+    """Full-finetune export path: params -> HF state -> params is exact
+    on the base weights (compose/convert.params_to_hf_llama)."""
+    import jax
+    import numpy as np
+
+    from modelcompose_tpu.compose.convert import (hf_llama_to_params,
+                                                  params_to_hf_llama)
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.core.llama import init_params
+
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                           dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = params_to_hf_llama(params, cfg)
+    assert "model.embed_tokens.weight" in state
+    assert "model.layers.0.self_attn.q_proj.weight" in state
+    back = hf_llama_to_params(state, cfg)
+    for path in (("embed_tokens",), ("norm",), ("lm_head",)):
+        a, b = params, back
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["mlp"]["down"]["w"]),
+        np.asarray(back["layers"]["mlp"]["down"]["w"]))

@@ -174,3 +174,31 @@ def test_resume_from_checkpoint(tmp_path, tiny_dataset, monkeypatch):
     result = train(args, tokenizer=TinyTokenizer())  # resumes from step 2
     assert result["steps"] == 5
     assert len(result["losses"]) == 3  # only 3 new steps executed
+
+
+def test_full_finetune_exports_base_weights(tmp_path, tiny_dataset,
+                                            monkeypatch):
+    """lora_strategy absent: the final export includes the FULL backbone
+    (model.safetensors) so trained base weights survive — an adapter-only
+    export would silently drop the whole finetune."""
+    from modelcompose_tpu.compose.state_io import load_state
+    from modelcompose_tpu.train.train_multimodal import train
+    args = _args(tmp_path, tiny_dataset)  # no lora_strategy flag
+
+    import modelcompose_tpu.train.train_multimodal as tm
+    orig = tm.build_model_config
+
+    def tiny_cfg(a):
+        cfg = orig(a)
+        cfg.vocab_size, cfg.hidden_size = 256, 64
+        cfg.intermediate_size, cfg.num_hidden_layers = 128, 2
+        cfg.num_attention_heads = cfg.num_key_value_heads = 4
+        return cfg
+
+    monkeypatch.setattr(tm, "build_model_config", tiny_cfg)
+    train(args, tokenizer=TinyTokenizer())
+    out = tmp_path / "out"
+    full = load_state(str(out / "model.safetensors"))
+    assert "model.layers.0.self_attn.q_proj.weight" in full
+    assert "model.embed_tokens.weight" in full
+    assert (out / "adapter_model.safetensors").exists()
