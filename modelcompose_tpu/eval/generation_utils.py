@@ -1,10 +1,10 @@
 """Shared per-question generation helper for the eval loaders.
 
-Every legacy loader (model_vqa, model_vqa_loader, model_vqa_mmbench,
-model_vqa_science, run_inference) runs the same tokenize -> generate ->
-decode -> strip-stop sequence against a conversation template; keeping it
-in one place stops the copies from drifting (e.g. a stop-matching fix
-landing in only one loader)."""
+The legacy loaders (model_vqa, model_vqa_loader, model_vqa_mmbench,
+model_vqa_science) run the same tokenize -> generate -> decode ->
+strip-stop sequence against a conversation template; keeping it in one
+place stops the copies from drifting (e.g. a stop-matching fix landing
+in only one loader)."""
 
 from __future__ import annotations
 
