@@ -41,6 +41,65 @@ def _prefill(params, cfg: ModelConfig, inputs_embeds, route_ids,
     return logits_from_hidden(params, last_h)[:, 0], cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "offset", "chunk",
+                                             "attn_impl"),
+                   donate_argnums=(2,))
+def _prefill_chunk_step(params, cfg: ModelConfig, cache, embeds_chunk,
+                        route_chunk, routing_table, offset: int, chunk: int,
+                        attn_impl: str):
+    """One chunk of a chunked prefill: write k/v at [offset, offset+chunk)
+    and attend causally with the query offset.  Static per (offset, chunk)
+    — a bounded set per bucket."""
+    B = embeds_chunk.shape[0]
+    positions = jnp.broadcast_to(
+        offset + jnp.arange(chunk, dtype=jnp.int32), (B, chunk))
+    hidden, cache = forward_hidden_routed(
+        params, cfg, embeds_chunk, route_ids=route_chunk,
+        routing_table=routing_table, positions=positions, cache=cache,
+        cache_write_pos=jnp.full((B,), offset, jnp.int32),
+        attn_impl=attn_impl, q_offset=offset)
+    return hidden, cache
+
+
+def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
+                    routing_table, lengths, cache_len: int,
+                    chunk: int = 256, attn_impl: str = "auto",
+                    tick_cb=None):
+    """Chunked prefill for batch-1, right-padded prompts (the
+    serve/slot_engine admission shape): the prompt is processed in
+    ``chunk``-token pieces so the caller can interleave work between
+    pieces (``tick_cb()`` runs after each chunk — the slot scheduler's
+    decode tick).  Produces the same (last-position logits, cache) as
+    ``_prefill``; parity is pinned in tests/test_chunked_prefill.py.
+
+    Causal masking with the query offset exposes exactly the initialized
+    cache prefix, so no segment ids are needed for a single right-padded
+    sample; requires an unquantized KV cache."""
+    from .llama import logits_from_hidden
+
+    B, L, _ = inputs_embeds.shape
+    assert B == 1, "chunked prefill supports batch-1 admission"
+    chunk = min(chunk, L)
+    assert L % chunk == 0, (L, chunk)
+    cache = KVCache.zeros(cfg, B, cache_len)
+    if routing_table is not None:
+        routing_table = jnp.asarray(routing_table)
+    last_idx = int(np.asarray(lengths)[0]) - 1
+    logits = None
+    for off in range(0, L, chunk):
+        rc = None if route_ids is None else \
+            jnp.asarray(route_ids)[:, off:off + chunk]
+        hidden, cache = _prefill_chunk_step(
+            params, cfg, cache, inputs_embeds[:, off:off + chunk], rc,
+            routing_table, off, chunk, attn_impl)
+        if off <= last_idx < off + chunk:
+            logits = logits_from_hidden(
+                params, hidden[:, last_idx - off][:, None])[:, 0]
+        if tick_cb is not None:
+            tick_cb()
+    return logits, cache
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "max_steps", "temperature"),
                    donate_argnums=(2,))

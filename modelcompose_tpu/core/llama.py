@@ -149,7 +149,7 @@ def quantize_kv(val: jax.Array):
 
 def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
            cache_k, cache_v, cache_write_pos, kv_lens, attn_impl,
-           layer_idx=None):
+           layer_idx=None, q_offset: int = 0):
     """One decoder block.
 
     x: [B, L, H]; route: [B, L, A] or None; cos/sin: [B, L, hd].
@@ -212,9 +212,6 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
                     for part in cache}
         return scatter_token(cache, val)
 
-    # Decode always arrives here with layer_idx set (forward_hidden's
-    # carry-based decode scan); cache without cache_write_pos is prefill.
-    assert cache_write_pos is None or layer_idx is not None
 
     new_cache_k, new_cache_v = cache_k, cache_v
     if cache_k is not None and layer_idx is not None:
@@ -228,6 +225,16 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
         # Decode against the stacked carried cache (token slot just set).
         attn_out = decode_attention(q, new_cache_k, new_cache_v, kv_lens,
                                     layer_idx=layer_idx)
+    elif cache_k is not None and cache_write_pos is not None:
+        # CHUNKED PREFILL (L > 1, per-layer cache via the xs/ys scan):
+        # the chunk's k/v were just written at q_offset; attend causally
+        # over the whole cache with the query offset — causal masking
+        # alone exposes exactly the initialized prefix [0, q_offset + L)
+        # for a right-padded batch-1 prompt (serve/slot_engine admission).
+        assert not isinstance(new_cache_k, dict), \
+            "chunked prefill requires an unquantized KV cache"
+        attn_out = attention(q, new_cache_k, new_cache_v, causal=True,
+                             q_offset=q_offset, impl=attn_impl)
     else:
         attn_out = attention(q, k, v, causal=True, q_segment_ids=segment_ids,
                              kv_segment_ids=segment_ids, impl=attn_impl)
@@ -253,7 +260,8 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
 def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
                    route=None, segment_ids=None, positions=None,
                    cache: Optional[KVCache] = None, cache_write_pos=None,
-                   kv_lens=None, attn_impl: str = "auto"
+                   kv_lens=None, attn_impl: str = "auto",
+                   q_offset: int = 0
                    ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -271,7 +279,7 @@ def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
     x = inputs_embeds
     layer_params = params["layers"]
 
-    if cache is not None and cache_write_pos is not None:
+    if cache is not None and cache_write_pos is not None and L == 1:
         # Decode step: the cache rides the scan CARRY and only the new
         # token's slot is written per layer.  Routing it through scan
         # xs/ys instead costs a full-cache rewrite every step — measured
@@ -300,7 +308,7 @@ def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
         x, ck, cv = _layer(cfg, lp, x, route, cos, sin,
                            segment_ids=segment_ids, cache_k=ck, cache_v=cv,
                            cache_write_pos=cache_write_pos, kv_lens=kv_lens,
-                           attn_impl=attn_impl)
+                           attn_impl=attn_impl, q_offset=q_offset)
         return x, (ck, cv)
 
     if cache is not None:
@@ -341,7 +349,7 @@ def forward_hidden_routed(params: Params, cfg: ModelConfig, inputs_embeds, *,
                           segment_ids=None, positions=None,
                           cache: Optional[KVCache] = None,
                           cache_write_pos=None, kv_lens=None,
-                          attn_impl: str = "auto"):
+                          attn_impl: str = "auto", q_offset: int = 0):
     """embeds -> last hidden state (no lm_head), with route-class expansion.
 
     route_ids: [B, L] int32 route classes; routing_table:
@@ -360,7 +368,7 @@ def forward_hidden_routed(params: Params, cfg: ModelConfig, inputs_embeds, *,
     return forward_hidden(
         params, cfg, inputs_embeds, route=route, segment_ids=segment_ids,
         positions=positions, cache=cache, cache_write_pos=cache_write_pos,
-        kv_lens=kv_lens, attn_impl=attn_impl)
+        kv_lens=kv_lens, attn_impl=attn_impl, q_offset=q_offset)
 
 
 def forward(params: Params, cfg: ModelConfig, inputs_embeds, *,

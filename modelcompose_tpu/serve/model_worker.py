@@ -97,7 +97,7 @@ class ModelWorker:
                  model_name=None, limit_concurrency: int = 5,
                  no_register: bool = False, loader=None,
                  continuous_batching: bool = False,
-                 slot_cache_len: int = 1024):
+                 slot_cache_len: int = 1024, prefill_chunk=None):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = uuid.uuid4().hex[:6]
@@ -115,7 +115,8 @@ class ModelWorker:
             from .slot_engine import ContinuousBatchingEngine
             self.engine = ContinuousBatchingEngine(
                 self.model, self._prepare_request,
-                max_slots=limit_concurrency, cache_len=slot_cache_len)
+                max_slots=limit_concurrency, cache_len=slot_cache_len,
+                prefill_chunk=prefill_chunk)
         else:
             self.engine = BatchingEngine(self._stream_batch,
                                          max_batch=limit_concurrency)
@@ -352,6 +353,10 @@ def main():
                              "running packed generation (serve/"
                              "slot_engine.py)")
     parser.add_argument("--slot-cache-len", type=int, default=1024)
+    parser.add_argument("--prefill-chunk", type=int, default=None,
+                        help="chunked admission prefill: decode ticks for "
+                             "in-flight requests interleave between "
+                             "N-token prefill pieces")
     args = parser.parse_args()
     loader = None
     if args.load_8bit or args.fold_decode or args.tp > 1:
@@ -367,7 +372,8 @@ def main():
                          args.limit_model_concurrency, args.no_register,
                          loader=loader,
                          continuous_batching=args.continuous_batching,
-                         slot_cache_len=args.slot_cache_len)
+                         slot_cache_len=args.slot_cache_len,
+                         prefill_chunk=args.prefill_chunk)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

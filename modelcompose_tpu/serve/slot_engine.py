@@ -17,10 +17,11 @@ Greedy tokens per slot are IDENTICAL to a solo run of the same request:
 rows are independent under per-row kv_len masking
 (tests/test_slot_engine.py pins this).
 
-Future work: chunked prefill (splitting an admission's prefill into
-~256-token pieces interleaved with decode ticks) would cut the per-
-admission stall further; it needs multi-query attention against the
-partially-written cache, which the decode path does not yet implement.
+Chunked admission prefill (``prefill_chunk=N`` / worker
+``--prefill-chunk``): the admission's prefill runs in N-token pieces and
+in-flight slots get a decode tick between pieces
+(core/generate.prefill_chunked) — the per-admission stall drops from the
+whole prompt's prefill to one chunk.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ class SlotDecoder:
     """Model-side half: the pooled cache + per-slot decode state."""
 
     def __init__(self, model, max_slots: int = 8, cache_len: int = 1024,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, prefill_chunk=None):
         from ..core.llama import KVCache
 
         self.model = model
@@ -59,6 +60,10 @@ class SlotDecoder:
         self.max_slots = max_slots
         self.cache_len = cache_len
         self.kv_quant = kv_quant
+        # chunked admission prefill: decode ticks interleave between
+        # chunks instead of stalling for the whole prompt (needs an
+        # unquantized cache; core/generate.prefill_chunked)
+        self.prefill_chunk = None if kv_quant else prefill_chunk
         self.cache = KVCache.zeros(self.cfg, max_slots, cache_len,
                                    quantized=kv_quant)
         V = self.cfg.vocab_size
@@ -67,7 +72,8 @@ class SlotDecoder:
         self.table = jnp.asarray(np.asarray(model.routing_table))
         self.decode_table = model.decode_routing_table()
 
-    def admit(self, slot: int, input_ids, modal_inputs) -> int:
+    def admit(self, slot: int, input_ids, modal_inputs,
+              tick_cb=None) -> int:
         """Prefill one request and splice it into ``slot``.  Returns the
         prompt length (its kv_len).  Raises when the prompt alone cannot
         fit the slot cache; the ENGINE clamps the caller's token budget
@@ -106,11 +112,18 @@ class SlotDecoder:
                 f"({self.cache_len})")
         route_ids = jnp.asarray(plan.route_ids) \
             if self.cfg.routing_active() else None
-        logits1, cache1 = _prefill(
-            self.model.params, self.cfg, embeds, route_ids, self.table,
-            jnp.asarray(plan.segment_ids),
-            jnp.asarray(plan.lengths, jnp.int32), self.cache_len, "auto",
-            self.kv_quant)
+        if self.prefill_chunk:
+            from ..core.generate import prefill_chunked
+            logits1, cache1 = prefill_chunked(
+                self.model.params, self.cfg, embeds, route_ids, self.table,
+                plan.lengths, self.cache_len, chunk=self.prefill_chunk,
+                tick_cb=tick_cb)
+        else:
+            logits1, cache1 = _prefill(
+                self.model.params, self.cfg, embeds, route_ids, self.table,
+                jnp.asarray(plan.segment_ids),
+                jnp.asarray(plan.lengths, jnp.int32), self.cache_len,
+                "auto", self.kv_quant)
         self.cache = _splice_slot(self.cache, cache1, slot)
         self.logits = self.logits.at[slot].set(logits1[0])
         self.kv_lens[slot] = L
@@ -141,8 +154,9 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model, prepare, max_slots: int = 8,
                  cache_len: int = 1024, kv_quant: bool = False,
-                 rng_seed: Optional[int] = None):
-        self.decoder = SlotDecoder(model, max_slots, cache_len, kv_quant)
+                 rng_seed: Optional[int] = None, prefill_chunk=None):
+        self.decoder = SlotDecoder(model, max_slots, cache_len, kv_quant,
+                                   prefill_chunk=prefill_chunk)
         self.prepare = prepare  # request -> (ids, modal_inputs, max_new, temp)
         self.eos = model.cfg.eos_token_id
         self._queue: "queue.Queue" = queue.Queue()
@@ -175,7 +189,12 @@ class ContinuousBatchingEngine:
                 if max_new <= 0:
                     events.put(("done", None))
                     continue
-                L = self.decoder.admit(slot, ids, modal_inputs)
+                # chunked prefill: in-flight slots keep decoding between
+                # the admission's prefill chunks
+                tick = self._advance_slots \
+                    if self.decoder.prefill_chunk else None
+                L = self.decoder.admit(slot, ids, modal_inputs,
+                                       tick_cb=tick)
                 max_new = min(max_new, self.decoder.cache_len - L)
             except Exception as e:  # noqa: BLE001 — surface per request
                 events.put(("error", e))
@@ -198,9 +217,12 @@ class ContinuousBatchingEngine:
                 self._slots.clear()
 
     def _tick(self) -> None:
+        self._admit_pending(block=True)
+        self._advance_slots()
+
+    def _advance_slots(self) -> None:
         from ..models.model import sample_token
 
-        self._admit_pending(block=True)
         if not self._slots:
             return
         logits = self.decoder.host_logits()

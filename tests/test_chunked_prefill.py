@@ -1,0 +1,80 @@
+"""Chunked prefill (core/generate.prefill_chunked): numerically identical
+to the one-shot prefill, and the decode that follows produces the same
+greedy tokens."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompose_tpu.config import ROUTE_CLASS_INDEX, tiny_test_config
+from modelcompose_tpu.core.generate import (_decode_loop, _prefill,
+                                            prefill_chunked)
+from modelcompose_tpu.core.llama import init_params
+
+
+def _setup():
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                           dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for grp in ("attn", "mlp"):
+        for name in params["layers"][grp]:
+            key, sub = jax.random.split(key)
+            p = params["layers"][grp][name]
+            p["lora_b"] = jax.random.normal(sub, p["lora_b"].shape) * 0.1
+    B, L = 1, 16
+    embeds = jax.random.normal(jax.random.PRNGKey(2),
+                               (B, L, cfg.hidden_size)) * 0.1
+    route = np.zeros((B, L), np.int32)
+    route[:, 2:5] = ROUTE_CLASS_INDEX["vision"]
+    lengths = np.array([13], np.int32)  # right padding after position 12
+    return cfg, params, embeds, jnp.asarray(route), lengths
+
+
+def test_chunked_prefill_matches_one_shot():
+    cfg, params, embeds, route, lengths = _setup()
+    table = cfg.routing_table()
+    seg = (np.arange(16)[None] < lengths[:, None]).astype(np.int32)
+    cache_len = 32
+
+    logits_full, cache_full = _prefill(
+        params, cfg, embeds, route, jnp.asarray(table), jnp.asarray(seg),
+        jnp.asarray(lengths), cache_len, "auto", False)
+    ticks = []
+    logits_c, cache_c = prefill_chunked(
+        params, cfg, embeds, route, table, lengths, cache_len, chunk=4,
+        tick_cb=lambda: ticks.append(1))
+    assert len(ticks) == 4  # one per chunk
+
+    np.testing.assert_allclose(np.asarray(logits_c),
+                               np.asarray(logits_full), rtol=2e-5,
+                               atol=2e-5)
+    # the cache's VALID region matches exactly (beyond lengths both paths
+    # hold whatever the padding rows produced; decode masks it out)
+    Lv = int(lengths[0])
+    np.testing.assert_allclose(
+        np.asarray(cache_c.k)[:, :, :Lv], np.asarray(cache_full.k)[:, :, :Lv],
+        rtol=2e-5, atol=2e-5)
+
+    # same greedy continuation from both caches
+    rng = jax.random.PRNGKey(0)
+    t_full, _ = _decode_loop(params, cfg, cache_full, logits_full,
+                             jnp.asarray(lengths), jnp.asarray(table), rng,
+                             6, -1, 0.0)
+    t_c, _ = _decode_loop(params, cfg, cache_c, logits_c,
+                          jnp.asarray(lengths), jnp.asarray(table), rng,
+                          6, -1, 0.0)
+    assert np.asarray(t_full).tolist() == np.asarray(t_c).tolist()
+
+
+def test_chunked_prefill_no_routing():
+    cfg, params, embeds, _, lengths = _setup()
+    seg = (np.arange(16)[None] < lengths[:, None]).astype(np.int32)
+    logits_full, _ = _prefill(params, cfg, embeds, None, None,
+                              jnp.asarray(seg), jnp.asarray(lengths), 32,
+                              "auto", False)
+    logits_c, _ = prefill_chunked(params, cfg, embeds, None, None, lengths,
+                                  32, chunk=8)
+    np.testing.assert_allclose(np.asarray(logits_c),
+                               np.asarray(logits_full), rtol=2e-5,
+                               atol=2e-5)

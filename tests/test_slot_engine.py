@@ -145,3 +145,33 @@ def test_requests_beyond_slot_capacity_queue_and_complete(tiny_model):
            for i in range(3)]
     outs = [_drain(ev, timeout=120) for ev in evs]
     assert all(len(o) == 4 for o in outs), [len(o) for o in outs]
+
+
+def test_chunked_admission_interleaves_and_matches_solo(tiny_model):
+    """prefill_chunk on: request 2's admission prefill interleaves decode
+    ticks for in-flight request 1, and BOTH still emit solo-identical
+    greedy tokens."""
+    model = tiny_model
+    IMG = MODAL_TOKEN_INDEXES["vision"]
+    pixels = np.linspace(-1, 1, 28 * 28 * 3,
+                         dtype=np.float32).reshape(1, 28, 28, 3)
+    r1_ids = np.array([1, IMG, 7, 8])
+    r2_ids = np.array([1, 11, 12, 13, 14])
+    solo1 = model.generate([r1_ids], {"vision": pixels},
+                           max_new_tokens=10)[0]
+    solo2 = model.generate([r2_ids], {}, max_new_tokens=5)[0]
+
+    def prepare(r):
+        return r["ids"], r["modal_inputs"], r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=4,
+                                      cache_len=64, prefill_chunk=16)
+    assert engine.decoder.prefill_chunk == 16
+    ev1 = engine.submit({"ids": r1_ids, "modal_inputs": {"vision": pixels},
+                        "max_new": 10})
+    time.sleep(2.0)  # r1 mid-decode when r2's chunked admission starts
+    ev2 = engine.submit({"ids": r2_ids, "modal_inputs": {}, "max_new": 5})
+    toks1 = _drain(ev1)
+    toks2 = _drain(ev2)
+    assert toks1 == solo1, (toks1, solo1)
+    assert toks2 == solo2, (toks2, solo2)
