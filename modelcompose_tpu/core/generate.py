@@ -79,22 +79,28 @@ def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
 
     B, L, _ = inputs_embeds.shape
     assert B == 1, "chunked prefill supports batch-1 admission"
-    chunk = min(chunk, L)
-    assert L % chunk == 0, (L, chunk)
+    chunk = max(1, min(chunk, L))
+    # chunk sizes: full chunks plus a ragged tail (one extra compile per
+    # distinct tail size — bounded by the bucket set)
+    sizes = [chunk] * (L // chunk)
+    if L % chunk:
+        sizes.append(L % chunk)
     cache = KVCache.zeros(cfg, B, cache_len)
     if routing_table is not None:
         routing_table = jnp.asarray(routing_table)
     last_idx = int(np.asarray(lengths)[0]) - 1
     logits = None
-    for off in range(0, L, chunk):
+    off = 0
+    for size in sizes:
         rc = None if route_ids is None else \
-            jnp.asarray(route_ids)[:, off:off + chunk]
+            jnp.asarray(route_ids)[:, off:off + size]
         hidden, cache = _prefill_chunk_step(
-            params, cfg, cache, inputs_embeds[:, off:off + chunk], rc,
-            routing_table, off, chunk, attn_impl)
-        if off <= last_idx < off + chunk:
+            params, cfg, cache, inputs_embeds[:, off:off + size], rc,
+            routing_table, off, size, attn_impl)
+        if off <= last_idx < off + size:
             logits = logits_from_hidden(
                 params, hidden[:, last_idx - off][:, None])[:, 0]
+        off += size
         if tick_cb is not None:
             tick_cb()
     return logits, cache

@@ -233,7 +233,11 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
         # for a right-padded batch-1 prompt (serve/slot_engine admission).
         assert not isinstance(new_cache_k, dict), \
             "chunked prefill requires an unquantized KV cache"
-        attn_out = attention(q, new_cache_k, new_cache_v, causal=True,
+        # static prefix slice: causal masking would discard keys past
+        # q_offset+L anyway — don't stream the zero-filled cache tail
+        S_used = q_offset + L
+        attn_out = attention(q, new_cache_k[:, :S_used],
+                             new_cache_v[:, :S_used], causal=True,
                              q_offset=q_offset, impl=attn_impl)
     else:
         attn_out = attention(q, k, v, causal=True, q_segment_ids=segment_ids,
@@ -279,9 +283,12 @@ def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
     x = inputs_embeds
     layer_params = params["layers"]
 
-    if cache is not None and cache_write_pos is not None and L == 1:
-        # Decode step: the cache rides the scan CARRY and only the new
-        # token's slot is written per layer.  Routing it through scan
+    if cache is not None and cache_write_pos is not None \
+            and kv_lens is not None:
+        # Decode step (every decode caller passes kv_lens; chunked
+        # prefill does not, so a 1-token chunk cannot fall in here): the
+        # cache rides the scan CARRY and only the new token's slot is
+        # written per layer.  Routing it through scan
         # xs/ys instead costs a full-cache rewrite every step — measured
         # 11.75 ms vs 1.9 ms for the 7B cache structure at 4.2k positions.
         n = cfg.num_hidden_layers

@@ -109,6 +109,9 @@ class ModelWorker:
          self.context_len) = loader(model_path, model_base, self.model_name)
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
+        if prefill_chunk and not continuous_batching:
+            logger.warning("--prefill-chunk has no effect without "
+                           "--continuous-batching")
         if continuous_batching:
             # vLLM-style slot scheduling: arrivals join the running packed
             # generation instead of waiting for the batch to drain

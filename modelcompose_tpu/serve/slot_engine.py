@@ -63,7 +63,11 @@ class SlotDecoder:
         # chunked admission prefill: decode ticks interleave between
         # chunks instead of stalling for the whole prompt (needs an
         # unquantized cache; core/generate.prefill_chunked)
-        self.prefill_chunk = None if kv_quant else prefill_chunk
+        if prefill_chunk and kv_quant:
+            raise ValueError(
+                "prefill_chunk requires an unquantized KV cache "
+                "(kv_quant=False)")
+        self.prefill_chunk = prefill_chunk
         self.cache = KVCache.zeros(self.cfg, max_slots, cache_len,
                                    quantized=kv_quant)
         V = self.cfg.vocab_size
@@ -190,8 +194,11 @@ class ContinuousBatchingEngine:
                     events.put(("done", None))
                     continue
                 # chunked prefill: in-flight slots keep decoding between
-                # the admission's prefill chunks
-                tick = self._advance_slots \
+                # the admission's prefill chunks.  Tick failures belong
+                # to the IN-FLIGHT slots, not the admitting request —
+                # guard here so they don't unwind into the admission's
+                # per-request error handler.
+                tick = self._guarded_tick \
                     if self.decoder.prefill_chunk else None
                 L = self.decoder.admit(slot, ids, modal_inputs,
                                        tick_cb=tick)
@@ -219,6 +226,14 @@ class ContinuousBatchingEngine:
     def _tick(self) -> None:
         self._admit_pending(block=True)
         self._advance_slots()
+
+    def _guarded_tick(self) -> None:
+        try:
+            self._advance_slots()
+        except Exception as e:  # noqa: BLE001 — device/XLA errors
+            for st in self._slots.values():
+                st["events"].put(("error", e))
+            self._slots.clear()
 
     def _advance_slots(self) -> None:
         from ..models.model import sample_token

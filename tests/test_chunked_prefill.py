@@ -52,9 +52,11 @@ def test_chunked_prefill_matches_one_shot():
     # the cache's VALID region matches exactly (beyond lengths both paths
     # hold whatever the padding rows produced; decode masks it out)
     Lv = int(lengths[0])
-    np.testing.assert_allclose(
-        np.asarray(cache_c.k)[:, :, :Lv], np.asarray(cache_full.k)[:, :, :Lv],
-        rtol=2e-5, atol=2e-5)
+    for part in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(cache_c, part))[:, :, :Lv],
+            np.asarray(getattr(cache_full, part))[:, :, :Lv],
+            rtol=2e-5, atol=2e-5)
 
     # same greedy continuation from both caches
     rng = jax.random.PRNGKey(0)
@@ -65,6 +67,23 @@ def test_chunked_prefill_matches_one_shot():
                           jnp.asarray(lengths), jnp.asarray(table), rng,
                           6, -1, 0.0)
     assert np.asarray(t_full).tolist() == np.asarray(t_c).tolist()
+
+
+def test_chunked_prefill_ragged_and_unit_chunks():
+    """chunk sizes that don't divide the bucket (ragged tail) and even
+    chunk=1 must still match the one-shot prefill."""
+    cfg, params, embeds, route, lengths = _setup()
+    table = cfg.routing_table()
+    seg = (np.arange(16)[None] < lengths[:, None]).astype(np.int32)
+    logits_full, _ = _prefill(
+        params, cfg, embeds, route, jnp.asarray(table), jnp.asarray(seg),
+        jnp.asarray(lengths), 32, "auto", False)
+    for chunk in (5, 7, 1):  # 16 % 5 = 1, 16 % 7 = 2, unit chunks
+        logits_c, _ = prefill_chunked(params, cfg, embeds, route, table,
+                                      lengths, 32, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(logits_c),
+                                   np.asarray(logits_full), rtol=2e-5,
+                                   atol=2e-5, err_msg=f"chunk={chunk}")
 
 
 def test_chunked_prefill_no_routing():
