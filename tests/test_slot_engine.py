@@ -175,3 +175,33 @@ def test_chunked_admission_interleaves_and_matches_solo(tiny_model):
     toks2 = _drain(ev2)
     assert toks1 == solo1, (toks1, solo1)
     assert toks2 == solo2, (toks2, solo2)
+
+
+def test_randomized_soak_all_greedy_match_solo(tiny_model):
+    """Soak: 8 requests with random arrival times and budgets over 3
+    slots (+ chunked admission); every greedy stream matches its solo
+    run and every request completes."""
+    import threading
+
+    model = tiny_model
+    rs = np.random.RandomState(7)
+    reqs = []
+    for i in range(8):
+        ids = np.array([1] + list(rs.randint(3, 200, size=rs.randint(2, 6))))
+        max_new = int(rs.randint(2, 7))
+        reqs.append((ids, max_new))
+    solos = [model.generate([ids], {}, max_new_tokens=mn)[0]
+             for ids, mn in reqs]
+
+    def prepare(r):
+        return r["ids"], {}, r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=3,
+                                      cache_len=64, prefill_chunk=16)
+    events = []
+    for i, (ids, mn) in enumerate(reqs):
+        events.append(engine.submit({"ids": ids, "max_new": mn}))
+        time.sleep(float(rs.rand()) * 0.3)
+    outs = [_drain(ev, timeout=180) for ev in events]
+    for i, (out, solo) in enumerate(zip(outs, solos)):
+        assert out == solo, (i, out, solo)
