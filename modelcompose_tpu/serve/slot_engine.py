@@ -149,6 +149,13 @@ class SlotDecoder:
     def host_logits(self) -> np.ndarray:
         return np.asarray(self.logits, np.float32)
 
+    def release(self, slot: int) -> None:
+        """Pin a released slot's kv_len back to 1 so its RoPE position and
+        decode attention span stay bounded while idle (``step`` advances
+        every row; without the reset an idle row's position grows until
+        the next admission and correctness leans on implicit clamping)."""
+        self.kv_lens[slot] = 1
+
 
 class ContinuousBatchingEngine:
     """Drop-in for BatchingEngine (same ``submit`` -> events-queue API):
@@ -247,18 +254,21 @@ class ContinuousBatchingEngine:
             if st["cancel"] is not None and st["cancel"].is_set():
                 st["events"].put(("done", None))
                 del self._slots[slot]
+                self.decoder.release(slot)
                 continue
             tok = sample_token(logits[slot], st["temp"], self._rng)
             tokens[slot] = tok
             if self.eos is not None and tok == self.eos:
                 st["events"].put(("done", None))
                 del self._slots[slot]
+                self.decoder.release(slot)
                 continue
             st["events"].put(("token", tok))
             st["generated"] += 1
             if st["generated"] >= st["max_new"]:
                 st["events"].put(("done", None))
                 del self._slots[slot]
+                self.decoder.release(slot)
         if not self._slots:
             return
         self.decoder.step(tokens)

@@ -248,6 +248,18 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
     return tx, labels
 
 
+def _densify_int_grads(grads, params):
+    """allow_int=True makes integer param leaves (int8 frozen base weights,
+    ops/quant.quantize_backbone) yield zero-sized float0 grads; the optax
+    chain needs structurally real leaves, so swap in same-dtype zeros —
+    they hit set_to_zero ('frozen' label) and XLA dead-code-eliminates the
+    whole branch."""
+    return jax.tree.map(
+        lambda g, p: jnp.zeros_like(p)
+        if getattr(g, "dtype", None) == jax.dtypes.float0 else g,
+        grads, params)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -356,7 +368,9 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
                 train_params, cfg, routing_table, batch, attn_impl,
                 vision_tower_cfg=vision_tower_cfg)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            state.params)
+        grads = _densify_int_grads(grads, state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(params=new_params, opt_state=new_opt,
@@ -383,7 +397,9 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
                                                  batch, attn_impl,
                                                  vision_tower_cfg)
 
-        return jax.value_and_grad(loss_fn)(train_params)
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            train_params)
+        return loss, _densify_int_grads(grads, train_params)
 
     @jax.jit
     def apply_fn(state: TrainState, grads):

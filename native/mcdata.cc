@@ -209,7 +209,10 @@ void mc_fps(const float* xyz, int64_t n, int npoint, int start_index,
 void mc_knn(const float* xyz, int64_t n, const float* centers, int64_t m,
             int k, int32_t* out_idx) {
   if (k <= 0 || n <= 0 || m <= 0) return;  // nth_element UB guard
-  if (k > n) k = static_cast<int>(n);
+  // k stays the caller's row stride (out_idx is [m, k]); when the cloud
+  // has fewer than k points only k_eff real neighbours exist and the row
+  // tail repeats the farthest valid one (top_k-style fallback).
+  const int k_eff = k > n ? static_cast<int>(n) : k;
   const int nt = std::max(
       1, std::min<int>(static_cast<int>(m),
                        std::thread::hardware_concurrency()));
@@ -223,10 +226,12 @@ void mc_knn(const float* xyz, int64_t n, const float* centers, int64_t m,
                     dz = xyz[p * 3 + 2] - cz;
         d[p] = {dx * dx + dy * dy + dz * dz, static_cast<int32_t>(p)};
       }
-      std::nth_element(d.begin(), d.begin() + k - 1, d.end());
-      std::sort(d.begin(), d.begin() + k);
-      for (int i = 0; i < k; ++i)
+      std::nth_element(d.begin(), d.begin() + k_eff - 1, d.end());
+      std::sort(d.begin(), d.begin() + k_eff);
+      for (int i = 0; i < k_eff; ++i)
         out_idx[c * k + i] = d[i].second;
+      for (int i = k_eff; i < k; ++i)
+        out_idx[c * k + i] = d[k_eff - 1].second;
     }
   };
   if (nt <= 1) {

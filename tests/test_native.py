@@ -55,3 +55,20 @@ def test_fbank_dispatch_prefers_native():
     a = kaldi_fbank(wav, use_native=True)
     b = kaldi_fbank(wav, use_native=False)
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_knn_native_k_exceeds_points():
+    """k > n: row stride stays k; the tail repeats the farthest valid
+    neighbour instead of leaving uninitialized indices (round-3 advisor
+    finding on native/mcdata.cc mc_knn)."""
+    rs = np.random.RandomState(4)
+    xyz = rs.randn(5, 3).astype(np.float32)
+    centers = xyz[:3].copy()
+    out = knn_native(xyz, centers, 8)
+    if out is None:  # no native lib in this environment
+        return
+    assert out.shape == (3, 8)
+    assert ((out >= 0) & (out < 5)).all()
+    for row in out:
+        assert sorted(row[:5].tolist()) == [0, 1, 2, 3, 4]
+        assert (row[5:] == row[4]).all()
