@@ -118,11 +118,15 @@ def composed_longctx(steps=128):
     cfg = _composed_cfg()
 
     # 4-modal MCUB prompt layout (feature spans + 5+5 soft tokens each)
+    from modelcompose_tpu.core.packing import pick_bucket
+
     spans = [("vision", 576 + 10), ("video", 8 * 257 + 10),
              ("audio", 32 + 10), ("point", 513 + 10)]
     n_text = 70  # system prompt + question + choices
     L_valid = sum(n for _, n in spans) + n_text
-    B, L = 1, 4096
+    # round-4: the 256-step bucket ladder packs 3,287 valid positions into
+    # the 3,328 bucket (1.2% padding) instead of 4,096 (24.6%)
+    B, L = 1, pick_bucket(L_valid)
     route_row = np.zeros(L, np.int32)
     pos = n_text // 2
     for modal, n in spans:
@@ -178,6 +182,7 @@ def composed_longctx(steps=128):
         "longctx_prefill_tok_per_sec": round(L_valid / t_prefill, 1),
         "prefill_mfu_4096": round(mfu, 3),
         "longctx_positions": L_valid,
+        "prefill_bucket": L,
         "active_adapters": len(active),
     }
 

@@ -50,15 +50,32 @@ from ..constants import IGNORE_INDEX, MODAL_TOKEN_INDEXES
 
 _INDEX_TO_MODAL = {v: k for k, v in MODAL_TOKEN_INDEXES.items()}
 
-DEFAULT_BUCKETS = (512, 1024, 2048, 4096)
+# Power-of-two up to 2048, then 256-steps to 4096: multimodal prompts land
+# in [2048, 4096] (a 4-modal MCUB prompt is ~3.3k positions) and coarse
+# buckets there waste up to 2x the executed positions on padding — at the
+# round-3 operating point the 3,287-position prompt padded to 4096 spent
+# ~25% of its prefill FLOPs on padding; the 256-step ladder caps the waste
+# at <8%.  Above 4096 (beyond the reference's own 2048-ctx training but
+# reachable with multi-video prompts) 1024-steps to 8192 keep long prompts
+# generating instead of raising (reference behavior: positions beyond the
+# trained context simply run, modelcompose/data/multimodal_dataset.py:158
+# truncates text only).  One compile per bucket actually used.
+DEFAULT_BUCKETS = (512, 1024, 2048, 2304, 2560, 2816, 3072, 3328, 3584,
+                   3840, 4096, 5120, 6144, 7168, 8192)
+
+# Training batches vary in length step to step, so the fine ladder would
+# multiply recompiles for no steady-state win; the train entry keeps the
+# coarse power-of-two set (train/train_multimodal.make_batch).
+TRAIN_BUCKETS = (512, 1024, 2048, 4096, 8192)
 
 
 def pick_bucket(length: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if length <= b:
             return b
-    raise ValueError(f"sequence of length {length} exceeds largest bucket "
-                     f"{buckets[-1]}")
+    raise ValueError(
+        f"sequence of length {length} exceeds the largest bucket "
+        f"{buckets[-1]}; pass bucket_len explicitly or shorten the prompt")
 
 
 @dataclasses.dataclass

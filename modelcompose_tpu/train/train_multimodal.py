@@ -36,7 +36,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from ..config import ModelConfig
-from ..core.packing import DEFAULT_BUCKETS, pick_bucket, plan_pack
+from ..core.packing import TRAIN_BUCKETS, pick_bucket, plan_pack
 from ..data import conversation as conversation_lib
 from ..data.conversation import conv_templates
 from ..data.dataset import DataCollatorForSupervisedDataset, MultimodalDataset
@@ -188,7 +188,7 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
 
 
 def make_batch(model: MultimodalLM, collated: Dict[str, Any],
-               buckets=DEFAULT_BUCKETS, tower_train: bool = False):
+               buckets=TRAIN_BUCKETS, tower_train: bool = False):
     """Collator output -> device batch for the jitted step (towers run here,
     outside the step — they're frozen).  With ``tower_train`` the vision
     pixels stay raw and the CLIP forward runs INSIDE the step so tower

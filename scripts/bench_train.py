@@ -24,10 +24,13 @@ Emits one JSON line per variant (also appended to BENCH_TRAIN.jsonl).
 
 import gc
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_BF16_PEAK = 197e12
 

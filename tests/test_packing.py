@@ -106,5 +106,13 @@ def test_missing_modality_raises():
 def test_bucket_selection():
     assert pick_bucket(3) == 512
     assert pick_bucket(513) == 1024
+    # 256-step ladder in [2048, 4096]: the 3,287-position MCUB-4 prompt
+    # executes 3,328 positions, not 4,096 (round-4 prefill-MFU fix)
+    assert pick_bucket(2049) == 2304
+    assert pick_bucket(3287) == 3328
+    assert pick_bucket(4096) == 4096
+    # >4096 prompts (e.g. two videos ~4.3k) generate instead of raising
+    assert pick_bucket(4300) == 5120
+    assert pick_bucket(8192) == 8192
     with pytest.raises(ValueError):
         pick_bucket(10_000)
