@@ -107,11 +107,12 @@ def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "max_steps", "temperature"),
+                   static_argnames=("cfg", "max_steps", "temperature",
+                                    "top_p"),
                    donate_argnums=(2,))
 def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
                  routing_table, rng, max_steps: int, eos_id,
-                 temperature: float):
+                 temperature: float, top_p: float = 1.0):
     """Device-side greedy/sampled decode: the whole token loop runs inside
     one compiled program (lax.scan over steps), so no host round-trip per
     token — the TPU-native replacement for HF generate's python loop.
@@ -126,8 +127,13 @@ def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
 
     def pick(logits, key):
         if temperature and temperature > 0.0:
+            scaled = logits / temperature
+            if top_p is not None and top_p < 1.0:
+                from .sampling import top_p_filter
+                scaled = top_p_filter(scaled.astype(jnp.float32),
+                                      jnp.float32(top_p))
             return jax.random.categorical(
-                key, logits / temperature, axis=-1).astype(jnp.int32)
+                key, scaled, axis=-1).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def step(carry, _):
@@ -168,7 +174,8 @@ def _decode_step(params, cfg: ModelConfig, cache, tokens, kv_lens,
 def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
              route_ids=None, routing_table=None, segment_ids=None,
              max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
-             temperature: float = 0.0, rng=None, cache_len: Optional[int] = None,
+             temperature: float = 0.0, top_p: float = 1.0, rng=None,
+             cache_len: Optional[int] = None,
              attn_impl: str = "auto", device_loop: bool = True,
              fold_decode=False, kv_quant: bool = False):
     """Generate token ids.
@@ -231,7 +238,7 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
         tokens, _ = _decode_loop(decode_params, cfg, cache, logits, lengths,
                                  decode_table, rng, max_new_tokens,
                                  -1 if eos is None else int(eos),
-                                 float(temperature))
+                                 float(temperature), float(top_p))
         host = np.asarray(tokens)
         outputs = []
         for b in range(B):
@@ -249,7 +256,12 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
     for step in range(max_new_tokens):
         if temperature and temperature > 0.0:
             rng, sub = jax.random.split(rng)
-            tokens = jax.random.categorical(sub, logits / temperature, axis=-1)
+            scaled = logits / temperature
+            if top_p is not None and top_p < 1.0:
+                from .sampling import top_p_filter
+                scaled = top_p_filter(scaled.astype(jnp.float32),
+                                      jnp.float32(top_p))
+            tokens = jax.random.categorical(sub, scaled, axis=-1)
         else:
             tokens = jnp.argmax(logits, axis=-1)
         tokens = tokens.astype(jnp.int32)

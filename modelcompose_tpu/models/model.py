@@ -172,15 +172,19 @@ class MultimodalLM:
                         temperatures: Sequence[float],
                         emit, rng_seed: Optional[int] = None,
                         bucket_len: Optional[int] = None,
-                        cancelled=None) -> None:
-        """Batched streaming decode: one packed prefill, then a host-side
-        decode loop that emits each sample's token THE STEP IT DECODES —
-        the role the reference's TextIteratorStreamer thread plays
+                        cancelled=None, top_ps=None) -> None:
+        """Batched streaming decode: one packed prefill, then a decode loop
+        that emits each sample's token THE STEP IT DECODES — the role the
+        reference's TextIteratorStreamer thread plays
         (reference: serve/model_worker.py:122-192), batched.
 
         emit(i, event) receives ("token", id) then ("done", None) per
-        sample i; per-sample temperature/max_new_tokens/EOS are honored
-        (sampling happens host-side so rows can differ).
+        sample i; per-sample temperature/top_p/max_new_tokens/EOS are
+        honored.  Sampling runs ON DEVICE (core/sampling.sample_step —
+        temperature + HF-exact top-p, greedy rows bit-identical to argmax)
+        so the host round-trip per step is [B] token ids, not [B, V]
+        logits; top_p matches the reference worker's generate kwargs
+        (reference: serve/model_worker.py:156-178).
 
         cancelled(i) -> bool, checked every step: a row whose consumer went
         away (stop-string hit, client disconnect) is masked done so the
@@ -189,6 +193,7 @@ class MultimodalLM:
         KeywordsStoppingCriteria role, reference: mm_utils.py:114-140,
         which its streamer thread lacks on disconnect)."""
         from ..core.generate import _decode_step, _prefill
+        from ..core.sampling import sample_step
 
         B = len(input_ids)
         done = [False] * B
@@ -212,9 +217,13 @@ class MultimodalLM:
             False)
         kv_lens = lengths
         eos = self.cfg.eos_token_id
-        rng = np.random.default_rng(rng_seed)
+        key = jax.random.PRNGKey(rng_seed if rng_seed is not None else 0)
+        temps = jnp.asarray(list(temperatures), jnp.float32)
+        tps = jnp.asarray([1.0] * B if top_ps is None else list(top_ps),
+                          jnp.float32)
         for step in range(max(max_new_tokens)):
-            logits_host = np.asarray(logits, np.float32)  # [B, V] sync
+            key, sub = jax.random.split(key)
+            host_tokens = np.asarray(sample_step(sub, logits, temps, tps))
             tokens = np.zeros(B, np.int32)
             for b in range(B):
                 if not done[b] and cancelled is not None and cancelled(b):
@@ -223,7 +232,7 @@ class MultimodalLM:
                 if done[b]:
                     tokens[b] = eos if eos is not None else 0
                     continue
-                tok = sample_token(logits_host[b], temperatures[b], rng)
+                tok = int(host_tokens[b])
                 tokens[b] = tok
                 if eos is not None and tok == eos:
                     done[b] = True

@@ -200,14 +200,16 @@ class ModelWorker:
         return out
 
     def _prepare_request(self, r):
-        """request dict -> (ids, modal_inputs, max_new, temperature) for
-        the continuous-batching engine."""
+        """request dict -> (ids, modal_inputs, max_new, temperature, top_p)
+        for the continuous-batching engine (top_p honored as in the
+        reference worker, reference: serve/model_worker.py:156-178)."""
         ids = np.asarray(tokenizer_modal_token(r["prompt"], self.tokenizer),
                          np.int64)
         modal_inputs = self.decode_modal_inputs(r.get("modal_inputs"))
         max_new = max(0, min(int(r.get("max_new_tokens", 256)), 1024))
         temp = float(r.get("temperature", 1.0))
-        return ids, modal_inputs, max_new, temp
+        top_p = float(r.get("top_p", 1.0))
+        return ids, modal_inputs, max_new, temp, top_p
 
     def _stream_batch(self, requests, emit):
         """Pack the whole micro-batch — media included — into ONE
@@ -223,6 +225,7 @@ class ModelWorker:
         max_new = [max(0, min(int(r.get("max_new_tokens", 256)), 1024))
                    for r in requests]
         temps = [float(r.get("temperature", 1.0)) for r in requests]
+        top_ps = [float(r.get("top_p", 1.0)) for r in requests]
         cancels = [r.get("_cancel") for r in requests]
 
         def cancelled(i):
@@ -230,7 +233,8 @@ class ModelWorker:
 
         self.model.generate_stream(
             ids_rows, merged, max_new_tokens=max_new, temperatures=temps,
-            emit=emit, rng_seed=int(time.time() * 1e3) % (1 << 31),
+            top_ps=top_ps, emit=emit,
+            rng_seed=int(time.time() * 1e3) % (1 << 31),
             cancelled=cancelled)
 
     def generate_stream(self, params: dict, cancel=None):

@@ -149,6 +149,18 @@ class SlotDecoder:
     def host_logits(self) -> np.ndarray:
         return np.asarray(self.logits, np.float32)
 
+    def sample(self, key, temps: np.ndarray, top_ps: np.ndarray
+               ) -> np.ndarray:
+        """Sample every slot's next token ON DEVICE (temperature + HF-exact
+        top-p, greedy rows bit-identical to argmax; core/sampling) and
+        fetch only the [max_slots] token ids — the per-tick D2H shrinks
+        from [max_slots, V] fp32 logits to a handful of int32s."""
+        from ..core.sampling import sample_step
+
+        return np.asarray(sample_step(
+            key, self.logits, jnp.asarray(temps, jnp.float32),
+            jnp.asarray(top_ps, jnp.float32)))
+
     def release(self, slot: int) -> None:
         """Pin a released slot's kv_len back to 1 so its RoPE position and
         decode attention span stay bounded while idle (``step`` advances
@@ -168,11 +180,13 @@ class ContinuousBatchingEngine:
                  rng_seed: Optional[int] = None, prefill_chunk=None):
         self.decoder = SlotDecoder(model, max_slots, cache_len, kv_quant,
                                    prefill_chunk=prefill_chunk)
-        self.prepare = prepare  # request -> (ids, modal_inputs, max_new, temp)
+        # prepare: request -> (ids, modal_inputs, max_new, temp[, top_p])
+        self.prepare = prepare
         self.eos = model.cfg.eos_token_id
         self._queue: "queue.Queue" = queue.Queue()
         self._slots: Dict[int, Dict[str, Any]] = {}
-        self._rng = np.random.default_rng(rng_seed)
+        self._key = jax.random.PRNGKey(rng_seed if rng_seed is not None
+                                       else 0)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -196,7 +210,9 @@ class ContinuousBatchingEngine:
             slot = next(s for s in range(self.decoder.max_slots)
                         if s not in self._slots)
             try:
-                ids, modal_inputs, max_new, temp = self.prepare(request)
+                prepared = self.prepare(request)
+                ids, modal_inputs, max_new, temp = prepared[:4]
+                top_p = prepared[4] if len(prepared) > 4 else 1.0
                 if max_new <= 0:
                     events.put(("done", None))
                     continue
@@ -215,7 +231,7 @@ class ContinuousBatchingEngine:
                 continue
             self._slots[slot] = {"events": events, "generated": 0,
                                  "max_new": max_new, "temp": temp,
-                                 "cancel": cancel}
+                                 "top_p": top_p, "cancel": cancel}
             block = False
 
     def _loop(self) -> None:
@@ -243,11 +259,17 @@ class ContinuousBatchingEngine:
             self._slots.clear()
 
     def _advance_slots(self) -> None:
-        from ..models.model import sample_token
-
         if not self._slots:
             return
-        logits = self.decoder.host_logits()
+        # one device-side draw for every slot (idle rows greedy/no-op),
+        # then the host loop sees only token ids
+        temps = np.zeros(self.decoder.max_slots, np.float32)
+        top_ps = np.ones(self.decoder.max_slots, np.float32)
+        for slot, st in self._slots.items():
+            temps[slot] = st["temp"]
+            top_ps[slot] = st["top_p"]
+        self._key, sub = jax.random.split(self._key)
+        sampled = self.decoder.sample(sub, temps, top_ps)
         tokens = np.zeros(self.decoder.max_slots, np.int32)
         for slot in list(self._slots):
             st = self._slots[slot]
@@ -256,7 +278,7 @@ class ContinuousBatchingEngine:
                 del self._slots[slot]
                 self.decoder.release(slot)
                 continue
-            tok = sample_token(logits[slot], st["temp"], self._rng)
+            tok = int(sampled[slot])
             tokens[slot] = tok
             if self.eos is not None and tok == self.eos:
                 st["events"].put(("done", None))

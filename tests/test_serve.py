@@ -77,6 +77,7 @@ class FakeModel:
         return [[11, 12, 13]]
 
     def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
+                        top_ps=None,
                         temperatures, emit, rng_seed=None, bucket_len=None,
                         cancelled=None):
         for b in range(len(ids)):
@@ -257,6 +258,7 @@ def test_streaming_chunks_arrive_before_generation_completes():
 
     class SlowStreamModel(FakeModel):
         def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
+                            top_ps=None,
                             temperatures, emit, rng_seed=None,
                             bucket_len=None, cancelled=None):
             for tok in (11, 12, 13, 14):
