@@ -57,7 +57,7 @@ def eval_model(args):
     import jax
     rng = jax.random.PRNGKey(0)
     with open(answers_file, "w") as ans_file:
-        B = args.batch_size
+        B = args.batch_size if getattr(args, "num_beams", 1) <= 1 else 1
         for start in range(0, len(dataset), B):
             batch = collator([dataset[i] for i in
                               range(start, min(start + B, len(dataset)))])
@@ -65,6 +65,7 @@ def eval_model(args):
                 batch["input_ids"], batch.get("modal_inputs", {}),
                 max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature,
+                num_beams=getattr(args, "num_beams", 1),
                 rng=rng if args.temperature > 0 else None)
             for j, token_ids in enumerate(outputs):
                 text = tokenizer.decode(token_ids,
@@ -94,6 +95,8 @@ def main():
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--num-beams", "--num_beams",
+                        dest="num_beams", type=int, default=1)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument(

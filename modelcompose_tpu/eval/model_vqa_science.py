@@ -80,7 +80,8 @@ def eval_model(args, loaded=None):
             outputs = generate_text(model, tokenizer, prompt, modal_inputs,
                                     temperature=args.temperature,
                                     max_new_tokens=args.max_new_tokens,
-                                    rng=sub, stop_str=stop_str)
+                                    rng=sub, stop_str=stop_str,
+                                    num_beams=getattr(args, "num_beams", 1))
 
             if args.answer_prompter:
                 # second turn: re-query for the bare option letter
@@ -116,6 +117,8 @@ def main():
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--num-beams", "--num_beams",
+                        dest="num_beams", type=int, default=1)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--answer-prompter", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")

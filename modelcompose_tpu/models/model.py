@@ -135,6 +135,7 @@ class MultimodalLM:
     def generate(self, input_ids: Sequence[np.ndarray],
                  modal_inputs: Dict[str, Any],
                  max_new_tokens: int = 128, temperature: float = 0.0,
+                 top_p: float = 1.0, num_beams: int = 1,
                  rng=None, bucket_len: Optional[int] = None,
                  attn_impl: str = "auto",
                  compact_adapters: bool = False) -> List[List[int]]:
@@ -144,11 +145,27 @@ class MultimodalLM:
         params, table = self.params, self.routing_table
         if compact_adapters and route_ids is not None:
             params, table = self._compacted(np.unique(np.asarray(route_ids)))
+        if num_beams and num_beams > 1:
+            # HF dispatches num_beams>1 to beam search (reference:
+            # eval/model_multimodal_qa_loader.py:100,137); scoring length
+            # = RAW text ids (modal placeholders unexpanded), matching
+            # HF's input_ids-based length normalization.
+            from ..core.beam import beam_generate
+            assert len(input_ids) == 1, \
+                "beam search packs one prompt (the reference eval protocol)"
+            return beam_generate(
+                params, self.cfg, embeds, lengths=plan.lengths,
+                route_ids=route_ids, routing_table=table,
+                segment_ids=plan.segment_ids, num_beams=num_beams,
+                max_new_tokens=max_new_tokens,
+                scoring_prompt_len=len(np.asarray(input_ids[0])),
+                attn_impl=attn_impl)
         return generation.generate(
             params, self.cfg, embeds, lengths=plan.lengths,
             route_ids=route_ids, routing_table=table,
             segment_ids=plan.segment_ids, max_new_tokens=max_new_tokens,
-            temperature=temperature, rng=rng, attn_impl=attn_impl)
+            temperature=temperature, top_p=top_p, rng=rng,
+            attn_impl=attn_impl)
 
     def _compacted(self, route_classes):
         """Adapter stacks gathered to the columns the batch's route classes

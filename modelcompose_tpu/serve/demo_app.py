@@ -33,6 +33,7 @@ PAGE = """<!doctype html>
   Video (mp4): <input type=file name=video><br>
   Point cloud (npy): <input type=file name=point><br>
   Question: <input type=text name=question size=80><br>
+  Beams: <input type=number name=num_beams value=1 min=1 max=8><br>
   <input type=submit value=Ask>
 </form>
 <pre>{answer}</pre>
@@ -93,8 +94,15 @@ class DemoApp:
         conv.append_message(conv.roles[1], None)
         ids = np.asarray(tokenizer_modal_token(conv.get_prompt(),
                                                self.tokenizer), np.int64)
+        # num_beams passthrough (reference: demo_app.py:129-134 forwards
+        # it to HF generate)
+        try:
+            num_beams = max(1, int(data.get("num_beams", 1) or 1))
+        except (TypeError, ValueError):
+            num_beams = 1
         tokens = self.model.generate([ids], modal_inputs,
-                                     max_new_tokens=128)[0]
+                                     max_new_tokens=128,
+                                     num_beams=num_beams)[0]
         text = self.tokenizer.decode(tokens, skip_special_tokens=True)
         stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
         if stop and text.endswith(stop):

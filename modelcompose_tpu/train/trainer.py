@@ -57,6 +57,10 @@ class TrainConfig:
     # mm_vision_tower_lr and each deeper layer at lr * decay^depth.
     mm_vision_tower_lr: Optional[float] = None
     mm_vision_tower_layerwise_lr_decay: float = 1.0
+    # CE loss in sequence chunks with rematerialized logits (memory: the
+    # fp32 [B, L, V] logits + cotangent are ~2 GB at the reference
+    # micro-batch); None = plain whole-sequence loss
+    loss_chunk: Optional[int] = None
     # bf16 first moments halve optimizer memory — material here because
     # DAMC adapters at r=128 x n_modalities are billions of parameters
     # (the reason the reference needs ZeRO over 8 GPUs)
@@ -288,10 +292,50 @@ def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
                       step=jnp.zeros((), jnp.int32))
 
 
+def chunked_causal_lm_loss(backbone, hidden, labels, chunk: int):
+    """Shifted CE computed in sequence chunks with rematerialized logits.
+
+    The plain path materializes fp32 logits [B, L, V] plus their cotangent
+    (~2 GB at B=4, L=2048, V=32k) — on a 16 GB chip that buffer decides
+    whether the 7B stage-2 step fits at all.  Here the lm_head GEMM +
+    log-softmax run per ``chunk`` tokens inside a checkpointed lax.scan:
+    forward keeps only the scalar partial sums, backward recomputes each
+    chunk's logits.  Numerically identical to models/model.causal_lm_loss
+    (same shift, IGNORE_INDEX masking, mean over valid targets).
+    """
+    from ..core.llama import logits_from_hidden
+    from ..constants import IGNORE_INDEX as IGN
+
+    B, L, H = hidden.shape
+    assert L % chunk == 0, (L, chunk)
+    n = L // chunk
+    targets = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), IGN, labels.dtype)], axis=1)
+    hid = jnp.moveaxis(hidden.reshape(B, n, chunk, H), 1, 0)
+    tgt = jnp.moveaxis(targets.reshape(B, n, chunk), 1, 0)
+
+    @jax.checkpoint
+    def piece(carry, xs):
+        h, t = xs
+        logits = logits_from_hidden(backbone, h).astype(jnp.float32)
+        valid = t != IGN
+        safe = jnp.where(valid, t, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        s, c = carry
+        return (s + (nll * valid).sum(), c + valid.sum()), None
+
+    (s, c), _ = jax.lax.scan(
+        piece, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hid, tgt))
+    return s / jnp.maximum(c, 1)
+
+
 def multimodal_loss_from_features(train_params, cfg: ModelConfig,
                                   routing_table, batch,
                                   attn_impl: str = "auto",
-                                  vision_tower_cfg=None):
+                                  vision_tower_cfg=None,
+                                  loss_chunk: Optional[int] = None):
     """Loss over a pre-encoded batch.
 
     batch: dict with 'encoder_features' {modal: [n, T_enc, d_enc]} (frozen
@@ -341,6 +385,14 @@ def multimodal_loss_from_features(train_params, cfg: ModelConfig,
 
     embeds = assemble_embeds(backbone["embed_tokens"], _Plan, feats)
     route_ids = batch.get("route_ids") if cfg.routing_active() else None
+    if loss_chunk:
+        from ..core.llama import forward_hidden_routed
+        hidden, _ = forward_hidden_routed(
+            backbone, cfg, embeds, route_ids=route_ids,
+            routing_table=routing_table, segment_ids=batch["segment_ids"],
+            attn_impl=attn_impl)
+        return chunked_causal_lm_loss(backbone, hidden, batch["labels"],
+                                      loss_chunk)
     logits, _ = forward(backbone, cfg, embeds, route_ids=route_ids,
                         routing_table=routing_table,
                         segment_ids=batch["segment_ids"],
@@ -366,7 +418,8 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
         def loss_fn(train_params):
             return multimodal_loss_from_features(
                 train_params, cfg, routing_table, batch, attn_impl,
-                vision_tower_cfg=vision_tower_cfg)
+                vision_tower_cfg=vision_tower_cfg,
+                loss_chunk=tc.loss_chunk)
 
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
             state.params)
@@ -395,7 +448,8 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         def loss_fn(p):
             return multimodal_loss_from_features(p, cfg, routing_table,
                                                  batch, attn_impl,
-                                                 vision_tower_cfg)
+                                                 vision_tower_cfg,
+                                                 loss_chunk=tc.loss_chunk)
 
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
             train_params)

@@ -106,7 +106,7 @@ def run_variant(name, cfg, B, L, *, int8_base, mu_dtype, stage1,
 
     if int8_base:
         backbone = zeros_like_shapes(lambda: quantize_backbone(
-            init_params(cfg, jax.random.PRNGKey(0)), quantize_lm_head=False))
+            init_params(cfg, jax.random.PRNGKey(0)), quantize_lm_head=True))
     else:
         backbone = zeros_like_shapes(
             lambda: init_params(cfg, jax.random.PRNGKey(0)))
@@ -117,7 +117,7 @@ def run_variant(name, cfg, B, L, *, int8_base, mu_dtype, stage1,
     tc = TrainConfig(learning_rate=2e-4, mm_projector_lr=2e-5,
                      mm_language_lr=1e-5, warmup_ratio=0.03,
                      total_steps=1000, adam_mu_dtype=mu_dtype,
-                     tune_mm_mlp_adapter=stage1)
+                     tune_mm_mlp_adapter=stage1, loss_chunk=256)
     state = init_train_state(cfg, tc, backbone, projectors)
     tx, _ = make_optimizer(cfg, tc, state.params)
     step = make_train_step(cfg, tc, tx)
@@ -174,43 +174,55 @@ def main():
         print(json.dumps({"error": "not on tpu"}))
         return
     cfg = stage2_cfg()
+    # 16 GB HBM arithmetic (measured round 4: every bf16-base stage-2
+    # variant OOMs — the same arithmetic that forces the reference onto
+    # ZeRO-3 over 8 GPUs): int8 frozen base (7.0 GB) + bf16 adapters
+    # (1.3 GB, 2 rows x 325M) + bf16 grads (1.35 GB) + Adam mu(bf16)/
+    # nu(fp32) (4.05 GB) + remat residuals (~0.5 GB/batch-row at 2048)
+    # + chunked CE.  Ladder climbs batch size until OOM.
     variants = [
-        ("stage2-bf16-b4", dict(B=4, L=2048, int8_base=False,
-                                mu_dtype=None, stage1=False)),
+        ("stage2-int8-b2", dict(B=2, L=2048, int8_base=True,
+                                mu_dtype="bfloat16", stage1=False)),
         ("stage2-int8-b4", dict(B=4, L=2048, int8_base=True,
-                                mu_dtype=None, stage1=False)),
+                                mu_dtype="bfloat16", stage1=False)),
         ("stage2-int8-b8", dict(B=8, L=2048, int8_base=True,
-                                mu_dtype=None, stage1=False)),
-        ("stage1-proj-b16", dict(B=16, L=1024, int8_base=False,
-                                 mu_dtype=None, stage1=True)),
+                                mu_dtype="bfloat16", stage1=False)),
+        ("stage1-proj-b16", dict(B=16, L=1024, int8_base=True,
+                                 mu_dtype="bfloat16", stage1=True)),
+        # the reference-config datapoint: expected to OOM on one chip
+        # (documents WHY int8-frozen-base is the single-chip enabler)
+        ("stage2-bf16-b1", dict(B=1, L=2048, int8_base=False,
+                                mu_dtype="bfloat16", stage1=False)),
     ]
     fallbacks = {
-        "stage2-bf16-b4": ("stage2-bf16-b4-mu16",
-                           dict(B=4, L=2048, int8_base=False,
-                                mu_dtype="bfloat16", stage1=False)),
-        "stage2-bf16-b4-mu16": ("stage2-bf16-b2-mu16",
-                                dict(B=2, L=2048, int8_base=False,
-                                     mu_dtype="bfloat16", stage1=False)),
-        "stage2-int8-b8": ("stage2-int8-b8-mu16",
-                           dict(B=8, L=2048, int8_base=True,
+        "stage2-int8-b2": ("stage2-int8-b1",
+                           dict(B=1, L=2048, int8_base=True,
                                 mu_dtype="bfloat16", stage1=False)),
         "stage1-proj-b16": ("stage1-proj-b8",
-                            dict(B=8, L=1024, int8_base=False,
-                                 mu_dtype=None, stage1=True)),
+                            dict(B=8, L=1024, int8_base=True,
+                                 mu_dtype="bfloat16", stage1=True)),
     }
     out = open("/root/repo/BENCH_TRAIN.jsonl", "a")
     queue = list(variants)
+    oom_batch = None  # smallest stage-2 int8 batch that OOMed
     while queue:
         name, kw = queue.pop(0)
         B, L = kw.pop("B"), kw.pop("L")
+        if (oom_batch is not None and kw.get("int8_base")
+                and not kw.get("stage1") and B >= oom_batch):
+            print(json.dumps({"variant": name, "skipped":
+                              f"b{oom_batch} already OOMed"}), flush=True)
+            continue
         try:
             res = run_variant(name, cfg, B, L, **kw)
         except Exception as e:  # noqa: BLE001
             msg = f"{type(e).__name__}: {e}"[:300]
             res = {"variant": name, "batch": B, "seq": L, "error": msg}
-            if name in fallbacks and ("RESOURCE_EXHAUSTED" in msg
-                                      or "memory" in msg.lower()):
-                queue.insert(0, fallbacks[name])
+            if "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower():
+                if name in fallbacks:
+                    queue.insert(0, fallbacks[name])
+                if kw.get("int8_base") and not kw.get("stage1"):
+                    oom_batch = B if oom_batch is None else min(oom_batch, B)
             gc.collect()
         print(json.dumps(res), flush=True)
         out.write(json.dumps(res) + "\n")

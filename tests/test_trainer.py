@@ -561,3 +561,32 @@ def test_full_finetune_train_step_moves_base_weights():
     assert delta_full > 0, "full finetune did not move base weights"
     assert delta_frozen == 0, "strategy 'none' must freeze base weights"
     assert np.isfinite(loss_full)
+
+
+def test_chunked_loss_matches_plain(vision_model):
+    """loss_chunk path (rematerialized per-chunk lm_head; TrainConfig.
+    loss_chunk) is numerically identical to the whole-sequence loss —
+    value AND gradients — so the memory optimization cannot change
+    training."""
+    from modelcompose_tpu.train.trainer import multimodal_loss_from_features
+
+    model = vision_model
+    batch, layout = _make_batch(model)
+    batch = dict(batch)
+    batch["feat_layout"] = list(layout)
+    table = jnp.asarray(model.cfg.routing_table())
+    train_params = {"backbone": model.params,
+                    "projectors": model.projectors}
+
+    def loss(p, chunk):
+        return multimodal_loss_from_features(p, model.cfg, table, batch,
+                                             "xla", loss_chunk=chunk)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(p, None))(
+        train_params)
+    l_chunk, g_chunk = jax.value_and_grad(lambda p: loss(p, 4))(
+        train_params)
+    np.testing.assert_allclose(float(l_plain), float(l_chunk), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_chunk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
