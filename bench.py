@@ -187,6 +187,30 @@ def composed_longctx(steps=128):
     }
 
 
+def train_step_bench():
+    """Stage-2 DAMC train-step throughput on one chip (the reference's
+    primary workload: run_finetune_vision_damc.sh — per-device micro-batch
+    at 2048 ctx, gradient checkpointing).  Production single-chip recipe:
+    int8 frozen base + bf16 adapters/grads + bf16 Adam mu + chunked CE
+    (bf16 base OOMs at any batch — the arithmetic that forces the
+    reference onto ZeRO-3 over 8 GPUs; full ladder: scripts/bench_train.py,
+    BENCH_TRAIN.jsonl).  Returns sub-metric dict."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/scripts")
+    import bench_train
+
+    res = bench_train.run_variant("stage2-int8-b2", bench_train.stage2_cfg(),
+                                  2, 2048, int8_base=True,
+                                  mu_dtype="bfloat16", stage1=False, steps=4)
+    return {
+        "train_tokens_per_sec": res["tokens_per_sec"],
+        "train_step_ms": res["step_ms"],
+        "train_mfu_model": res["train_mfu_model"],
+        "train_batch_seq": [res["batch"], res["seq"]],
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -322,6 +346,16 @@ def main():
             result.update(composed_longctx())
         except Exception as e:  # noqa: BLE001 — keep the headline metric
             result["longctx_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Stage-2 train-step throughput/MFU (one more 7B compile through the
+    # relay; BENCH_TRAIN=0 skips).
+    if on_tpu and os.environ.get("BENCH_TRAIN") != "0":
+        import gc
+        gc.collect()
+        try:
+            result.update(train_step_bench())
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            result["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(result))
 

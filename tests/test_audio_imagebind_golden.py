@@ -60,6 +60,7 @@ def _build_reference():
     return model
 
 
+@pytest.mark.slow
 def test_imagebind_audio_features_match_reference():
     import torch
 

@@ -2,6 +2,7 @@
 to the one-shot prefill, and the decode that follows produces the same
 greedy tokens."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def _setup():
     return cfg, params, embeds, jnp.asarray(route), lengths
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_one_shot():
     cfg, params, embeds, route, lengths = _setup()
     table = cfg.routing_table()
@@ -69,6 +71,7 @@ def test_chunked_prefill_matches_one_shot():
     assert np.asarray(t_full).tolist() == np.asarray(t_c).tolist()
 
 
+@pytest.mark.slow
 def test_chunked_prefill_ragged_and_unit_chunks():
     """chunk sizes that don't divide the bucket (ragged tail) and even
     chunk=1 must still match the one-shot prefill."""

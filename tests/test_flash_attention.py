@@ -97,6 +97,7 @@ def test_decode_attention_matches_full():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_backward_matches_xla_reference():
     """Pallas bwd kernels vs jax.vjp through the XLA reference."""
     import jax
@@ -135,6 +136,7 @@ def test_backward_matches_xla_reference():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_backward_gqa_group_sum():
     import jax
     from modelcompose_tpu.ops.attention import attention_reference

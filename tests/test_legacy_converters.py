@@ -2,6 +2,7 @@
 scripts/convert_*_for_{eval,submission}.py) and the llava->multimodal
 upgraders (reference: scripts/convert_llava_to_multimodal/)."""
 
+import pytest
 import json
 import subprocess
 import sys
@@ -145,6 +146,7 @@ def test_convert_test_data_cli(tmp_path):
     assert data[0]["category"] == "conv"  # extra keys pass through
 
 
+@pytest.mark.slow
 def test_merge_deltas_to_base(tmp_path):
     """Weight-space NaiveMC merge of peft-era unimodal checkpoints
     (reference: merge_image_audio_to_multimodal.py, intended behavior):

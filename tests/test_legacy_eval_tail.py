@@ -36,6 +36,7 @@ def _img_b64():
 
 # ------------------------------------------------------- mmbench loader
 
+@pytest.mark.slow
 def test_mmbench_circular_rounds(tmp_path, tiny_vision_model):
     """reference: modelcompose/eval/model_vqa_mmbench.py:1-170 — one answer
     row per option rotation, options/option_char rotating in lockstep."""
@@ -241,6 +242,7 @@ def test_model_vqa_loader_prefetch(tmp_path, tiny_vision_model):
 
 # ---------------------------------------------------------- model_qa
 
+@pytest.mark.slow
 def test_model_qa_text_only(tmp_path, tiny_vision_model):
     """reference: modelcompose/eval/model_qa.py:33-77."""
     from modelcompose_tpu.eval.model_qa import eval_model

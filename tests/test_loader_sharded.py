@@ -133,6 +133,7 @@ def test_index_with_missing_shard_key_raises(tmp_path):
         load_hf_llama_dir(str(d))
 
 
+@pytest.mark.slow
 def test_load_pretrained_over_sharded_base_generates(tmp_path):
     base = tmp_path / "vicuna-tiny"
     ckpt = tmp_path / "multimodal-tiny"
@@ -198,6 +199,7 @@ def test_load_8bit_and_fold_decode(tmp_path):
     assert len(out[0]) <= 3
 
 
+@pytest.mark.slow
 def test_loader_tp_sharded_generation_matches(tmp_path):
     """loader(tp=4): Megatron-sharded backbone on a (1,4) mesh generates
     the same greedy tokens as the single-device load — the production

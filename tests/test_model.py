@@ -45,6 +45,7 @@ def test_image_generate(tiny_vision_model):
     assert out == out2
 
 
+@pytest.mark.slow
 def test_loss_and_grads_flow_to_projector_not_encoder(tiny_vision_model):
     model = tiny_vision_model
     pixels = np.random.RandomState(1).rand(1, 28, 28, 3).astype(np.float32)

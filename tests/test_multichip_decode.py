@@ -7,6 +7,7 @@ same property out-of-process; this test keeps it in the suite on the
 conftest-provisioned 8-device virtual CPU mesh.
 """
 
+import pytest
 import os
 import sys
 
@@ -15,5 +16,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __graft_entry__  # noqa: E402
 
 
+@pytest.mark.slow
 def test_decode_mesh_invariant():
     __graft_entry__.decode_mesh_check(8)

@@ -188,6 +188,7 @@ def test_point_bert_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_point_tower_shapes():
     tower = PointBertTower("test:16x2")
     pts = np.random.RandomState(0).randn(2, 64, 6).astype(np.float32)

@@ -1,5 +1,6 @@
 """Weight-only int8 decode quantization (ops/quant.py)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def test_quantize_backbone_structure():
     assert not is_quantized(params["layers"]["attn"]["q"]["w"])
 
 
+@pytest.mark.slow
 def test_quantized_generate_close_to_fp():
     cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8)
     # non-degenerate weights so argmax is stable-ish
@@ -50,6 +52,7 @@ def test_quantized_generate_close_to_fp():
     assert len(out_q[0]) > 0 and len(out_fp[0]) > 0
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_generate_close():
     """int8 KV cache decode: same shape/flow, outputs within quantization
     noise of the bf16-cache path (greedy tokens usually identical on a
@@ -80,6 +83,7 @@ def test_int8_kv_cache_generate_close():
     _ = out_fp
 
 
+@pytest.mark.slow
 def test_int8_kv_greedy_tokens_match_fp_cache():
     """The production serving config decodes over an int8 KV cache;
     greedy tokens must match the fp-cache path (scales factor out of

@@ -18,6 +18,7 @@ def test_recall_metrics():
     assert m["MedR"] == 3.0
 
 
+@pytest.mark.slow
 def test_eval_retrieval_flow(tmp_path):
     import jax
     from modelcompose_tpu.config import tiny_test_config

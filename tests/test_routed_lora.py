@@ -3,6 +3,7 @@
 language_model/multimodal_llama.py:120-160), reimplemented independently in
 numpy."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -284,6 +285,7 @@ def test_generate_fold_dense_matches_unfolded():
     assert t_plain == t_fold
 
 
+@pytest.mark.slow
 def test_compact_active_adapters_prefill_identical():
     """Gathering the adapter stacks down to the batch-active columns is
     numerically identical to the full contraction — on forward logits AND
@@ -342,6 +344,7 @@ def test_compact_active_adapters_prefill_identical():
     assert t_full == t_comp
 
 
+@pytest.mark.slow
 def test_model_generate_compact_adapters_matches():
     """MultimodalLM.generate(compact_adapters=True) emits identical tokens
     and caches the gathered stacks per active set."""

@@ -39,6 +39,7 @@ def _drain(events, n_expected=None, timeout=60.0):
     raise TimeoutError(f"stream incomplete: {toks}")
 
 
+@pytest.mark.slow
 def test_staggered_requests_match_solo_greedy(tiny_model):
     """Request 2 is admitted while request 1 is mid-decode; both emit the
     exact tokens a solo greedy run produces (rows are independent under
@@ -147,6 +148,7 @@ def test_requests_beyond_slot_capacity_queue_and_complete(tiny_model):
     assert all(len(o) == 4 for o in outs), [len(o) for o in outs]
 
 
+@pytest.mark.slow
 def test_chunked_admission_interleaves_and_matches_solo(tiny_model):
     """prefill_chunk on: request 2's admission prefill interleaves decode
     ticks for in-flight request 1, and BOTH still emit solo-identical
@@ -177,6 +179,7 @@ def test_chunked_admission_interleaves_and_matches_solo(tiny_model):
     assert toks2 == solo2, (toks2, solo2)
 
 
+@pytest.mark.slow
 def test_randomized_soak_all_greedy_match_solo(tiny_model):
     """Soak: 8 requests with random arrival times and budgets over 3
     slots (+ chunked admission); every greedy stream matches its solo

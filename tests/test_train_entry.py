@@ -90,6 +90,7 @@ def _args(tmp_path, data_path, **over):
     return args
 
 
+@pytest.mark.slow
 def test_stage2_train_and_reload(tmp_path, tiny_dataset, monkeypatch):
     from modelcompose_tpu.train.train_multimodal import train
     args = _args(tmp_path, tiny_dataset, lora_strategy="modal+language",
@@ -123,6 +124,7 @@ def test_stage2_train_and_reload(tmp_path, tiny_dataset, monkeypatch):
     assert "prefix_tokens.vision" in adapter
 
 
+@pytest.mark.slow
 def test_stage1_projector_only_export(tmp_path, tiny_dataset, monkeypatch):
     from modelcompose_tpu.train.train_multimodal import train
     import modelcompose_tpu.train.train_multimodal as tm
@@ -154,6 +156,7 @@ def test_stage1_projector_only_export(tmp_path, tiny_dataset, monkeypatch):
     assert result2["steps"] == 3
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path, tiny_dataset, monkeypatch):
     from modelcompose_tpu.train.train_multimodal import train
     import modelcompose_tpu.train.train_multimodal as tm
@@ -176,6 +179,7 @@ def test_resume_from_checkpoint(tmp_path, tiny_dataset, monkeypatch):
     assert len(result["losses"]) == 3  # only 3 new steps executed
 
 
+@pytest.mark.slow
 def test_full_finetune_exports_base_weights(tmp_path, tiny_dataset,
                                             monkeypatch):
     """lora_strategy absent: the final export includes the FULL backbone

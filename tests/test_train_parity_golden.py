@@ -195,6 +195,7 @@ def _prompt_cases(rs):
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.slow
 def test_train_step_loss_and_grads_match_reference(strategy, monkeypatch,
                                                    tmp_path):
     import torch
@@ -227,6 +228,7 @@ def test_train_step_loss_and_grads_match_reference(strategy, monkeypatch,
         _assert_grads_match(ours, strategy, our_grads, ref_grads)
 
 
+@pytest.mark.slow
 def test_frozen_rows_get_zero_update(monkeypatch, tmp_path):
     """End-to-end through make_optimizer: under 'modal' the default row's
     Adam update is exactly zero even though its raw gradient is not (text

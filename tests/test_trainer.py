@@ -133,6 +133,7 @@ def test_stage1_projector_only(vision_model):
         prefix_before)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_on_mesh(vision_model):
     model = vision_model
     mesh = make_mesh(data=4, model=2)
@@ -158,6 +159,7 @@ def test_param_pspecs_cover_tree(vision_model):
                  type(x).__name__ == "PartitionSpec")
 
 
+@pytest.mark.slow
 def test_remat_training_matches_no_remat():
     """cfg.remat rematerializes decoder layers; loss/grads identical."""
     import jax
@@ -187,6 +189,7 @@ def test_remat_training_matches_no_remat():
         np.asarray(g1["layers"]["attn"]["q"]["lora_b"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_adam_moments(vision_model):
     model = vision_model
     tc = TrainConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0,
@@ -202,6 +205,7 @@ def test_bf16_adam_moments(vision_model):
     assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch(vision_model):
     """accum=2 over two half-batches == one step over the full batch."""
     from modelcompose_tpu.train.trainer import make_grad_and_apply
@@ -244,6 +248,7 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     np.testing.assert_allclose(pa, pb, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vision_tower_layerwise_lr_decay():
     """Vision-tower training with layerwise lr decay (reference:
     llava_trainer.py:98-132): tower params update, and the per-layer
@@ -314,6 +319,7 @@ def test_vision_tower_layerwise_lr_decay():
     assert emb_delta < per_layer[0], (emb_delta, per_layer)
 
 
+@pytest.mark.slow
 def test_tower_frozen_without_vision_tower_lr():
     """Without mm_vision_tower_lr the tower label is set_to_zero."""
     import jax
@@ -338,6 +344,7 @@ def test_tower_frozen_without_vision_tower_lr():
                for u in jax.tree.leaves(updates["towers"]))
 
 
+@pytest.mark.slow
 def test_zero1_sharded_opt_state_matches_replicated():
     """ZeRO-1 (moments sharded over the data axis,
     parallel/mesh.shard_opt_state) must not change training numerics:
@@ -419,6 +426,7 @@ def test_zero1_sharded_opt_state_matches_replicated():
     assert data_sharded, "no opt-state leaf kept a data-axis sharding"
 
 
+@pytest.mark.slow
 def test_grad_accum_with_tower_training():
     """Gradient accumulation composes with vision-tower training: the
     accum grad fn must receive vision_tower_cfg (the in-graph tower
@@ -505,6 +513,7 @@ def test_full_finetune_when_strategy_absent():
     assert labels2["backbone"]["layers"]["attn"]["q"]["w"] == "frozen"
 
 
+@pytest.mark.slow
 def test_full_finetune_train_step_moves_base_weights():
     """End-to-end: a train step with lora_strategy absent updates BASE
     backbone weights (the legacy full-finetune recipe), while the same

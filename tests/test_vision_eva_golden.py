@@ -87,6 +87,7 @@ def test_eva_features_match_reference(variant):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_eva_tower_dispatch_and_protocol():
     """'eva' in the spec routes to EvaVisionTower (reference:
     clip_encoder.py:22); the tower satisfies the encoder protocol."""
