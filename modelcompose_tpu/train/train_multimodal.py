@@ -104,6 +104,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init_backbone", action="store_true",
                    help="debug/tests: skip base weight loading")
+    # Single-chip memory levers (measured round 4, BENCH_TRAIN.jsonl:
+    # bf16 frozen base + moments + activations exceed one 16 GB chip at
+    # ANY batch — the arithmetic that forces the reference onto ZeRO-3
+    # over 8 GPUs; int8 frozen base + chunked CE + bf16 mu fit b4@2048)
+    p.add_argument("--quantize_frozen_base", type=lambda s: s == "True",
+                   default=False,
+                   help="int8-quantize the frozen base weights (requires "
+                        "a lora_strategy or stage-1; the 8-bit role of "
+                        "bitsandbytes in the reference train entry)")
+    p.add_argument("--loss_chunk", type=int, default=None,
+                   help="compute the CE loss in N-token chunks with "
+                        "rematerialized logits (saves the [B,L,V] fp32 "
+                        "logits + cotangent)")
+    p.add_argument("--adam_mu_dtype", type=str, default=None,
+                   help="dtype for Adam first moments (e.g. bfloat16)")
     return p
 
 
@@ -279,7 +294,17 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         mm_vision_tower_layerwise_lr_decay=args.mm_vision_tower_layerwise_lr_decay,
         warmup_ratio=args.warmup_ratio, total_steps=total_steps,
         weight_decay=args.weight_decay,
-        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter)
+        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
+        loss_chunk=args.loss_chunk, adam_mu_dtype=args.adam_mu_dtype)
+
+    if args.quantize_frozen_base:
+        if cfg.lora_strategy is None and not args.tune_mm_mlp_adapter:
+            raise ValueError(
+                "--quantize_frozen_base requires frozen base weights "
+                "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
+        from ..ops.quant import quantize_backbone
+        import jax as _jax
+        model.params = _jax.jit(quantize_backbone)(model.params)
 
     mesh = mesh_for_batch(B, allow_partial=True)
     n_dev = len(jax.devices())
@@ -396,9 +421,13 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                          for k, v in batch.items()}
                 state, loss = step_fn(state, batch, layout)
             step_idx += 1
-            losses.append(float(loss))
+            # keep the DEVICE scalar: float() here would sync the host to
+            # every step's completion and stall the prefetch pipeline —
+            # conversion happens lazily at logging/exit
+            losses.append(loss)
             if step_idx % args.logging_steps == 0:
-                avg = np.mean(losses[-args.logging_steps:])
+                avg = np.mean([float(l) for l in
+                               losses[-args.logging_steps:]])
                 rate = step_idx / max(time.time() - t0, 1e-9)
                 print(f"[train] step {step_idx}/{total_steps} "
                       f"loss {avg:.4f} ({rate:.2f} it/s)")
@@ -419,6 +448,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         else:
             save_adapter_checkpoint(args.output_dir, cfg, backbone,
                                     projectors)
+    losses = [float(l) for l in losses]  # lazy device scalars -> host
     return {"final_loss": losses[-1] if losses else None,
             "steps": step_idx, "losses": losses}
 

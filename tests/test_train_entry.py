@@ -206,3 +206,42 @@ def test_full_finetune_exports_base_weights(tmp_path, tiny_dataset,
     assert "model.layers.0.self_attn.q_proj.weight" in full
     assert "model.embed_tokens.weight" in full
     assert (out / "adapter_model.safetensors").exists()
+
+
+@pytest.mark.slow
+def test_stage2_quantized_base_and_chunked_loss(tmp_path, tiny_dataset,
+                                                monkeypatch):
+    """Single-chip memory levers: --quantize_frozen_base (int8 frozen
+    base), --loss_chunk, --adam_mu_dtype run end-to-end through the
+    entry — incl. the step-checkpoint save/resume path serializing the
+    quantized tree (round-4 BENCH_TRAIN.jsonl configuration)."""
+    from modelcompose_tpu.train.train_multimodal import train
+    args = _args(tmp_path, tiny_dataset, lora_strategy="modal+language",
+                 lora_r="4", lora_alpha="8", local_prefix_tokens="1",
+                 local_suffix_tokens="1", quantize_frozen_base="True",
+                 loss_chunk="8", adam_mu_dtype="bfloat16")
+    import modelcompose_tpu.train.train_multimodal as tm
+    orig = tm.build_model_config
+
+    def tiny_cfg(a):
+        cfg = orig(a)
+        cfg.vocab_size, cfg.hidden_size = 256, 64
+        cfg.intermediate_size, cfg.num_hidden_layers = 128, 2
+        cfg.num_attention_heads = cfg.num_key_value_heads = 4
+        return cfg
+
+    monkeypatch.setattr(tm, "build_model_config", tiny_cfg)
+    result = train(args, tokenizer=TinyTokenizer())
+    assert result["steps"] == 3
+    assert all(np.isfinite(result["losses"]))
+    out = str(tmp_path / "out")
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+
+    # resume from the step checkpoint with the quantized state template
+    args2 = _args(tmp_path, tiny_dataset, lora_strategy="modal+language",
+                  lora_r="4", lora_alpha="8", local_prefix_tokens="1",
+                  local_suffix_tokens="1", quantize_frozen_base="True",
+                  loss_chunk="8", adam_mu_dtype="bfloat16",
+                  max_steps="4")
+    result2 = train(args2, tokenizer=TinyTokenizer())
+    assert result2["steps"] == 4
