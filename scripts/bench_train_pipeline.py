@@ -1,0 +1,162 @@
+"""End-to-end stage-2 training throughput WITH the host media pipeline.
+
+Measures tokens/s of the full production loop — dataset JSON -> PIL jpeg
+decode + CLIP preprocessing in PrefetchLoader workers -> collator ->
+on-chip tower encode -> static-shape packing -> int8-base train step —
+and the device-idle fraction (1 - pure-step-time / wall), i.e. whether
+the host keeps the TPU fed (SURVEY.md hard part #6; reference hides this
+in torch DataLoader workers, modelcompose/data/multimodal_dataset.py:114-120).
+
+Protocol: the real train entry (train/train_multimodal.train) at 7B with
+--random_init_backbone, --quantize_frozen_base, --loss_chunk — one short
+run to compile, then a timed run reusing the warm jit cache; then the
+bare train step at the same compiled shape (scripts/bench_train) for the
+device-only floor.
+
+Run: nohup python scripts/bench_train_pipeline.py > /tmp/bench_pipe.log &
+"""
+
+import gc
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TINY = os.environ.get("MC_PIPE_TINY") == "1"  # CPU smoke of the flow
+N_SAMPLES = 8 if TINY else 64
+BATCH = 2
+TIMED_STEPS = 3 if TINY else 10
+
+
+def make_dataset(root):
+    from PIL import Image
+    rs = np.random.RandomState(0)
+    data = []
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir)
+    for i in range(N_SAMPLES):
+        p = os.path.join(img_dir, f"{i}.jpg")
+        Image.fromarray((rs.rand(336, 336, 3) * 255).astype(np.uint8)
+                        ).save(p, quality=90)
+        data.append({
+            "id": i,
+            "conversations": [
+                {"from": "human",
+                 "value": "<image>\nDescribe the image in detail please."},
+                {"from": "gpt",
+                 "value": "It is a colorful noisy test pattern with many "
+                          "random pixels arranged in a grid of colors."}],
+            "modal_inputs": {"vision": [p]}})
+    path = os.path.join(root, "train.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    # base config dir: 7B llama dims
+    base = os.path.join(root, "base")
+    os.makedirs(base)
+    dims = ({"vocab_size": 256, "hidden_size": 64,
+             "intermediate_size": 128, "num_hidden_layers": 2,
+             "num_attention_heads": 4, "num_key_value_heads": 4}
+            if TINY else
+            {"vocab_size": 32000, "hidden_size": 4096,
+             "intermediate_size": 11008, "num_hidden_layers": 32,
+             "num_attention_heads": 32, "num_key_value_heads": 32})
+    with open(os.path.join(base, "config.json"), "w") as f:
+        json.dump({**dims, "max_position_embeddings": 4096,
+                   "rms_norm_eps": 1e-5}, f)
+    return path, base
+
+
+def run_train(tmp, data_path, base_dir, max_steps, outdir):
+    from fake_tokenizer import FakeLlamaTokenizer
+    from modelcompose_tpu.train.train_multimodal import (build_arg_parser,
+                                                         train)
+
+    argv = [
+        "--model_name_or_path", base_dir,
+        "--version", "v1",
+        "--data_path", data_path,
+        "--output_dir", os.path.join(tmp, outdir),
+        "--mm_vision_encoder",
+        "test:32x2" if TINY else "openai/clip-vit-large-patch14-336",
+        "--mm_projector_type", "mlp2x_gelu",
+        "--mm_vision_select_layer", "-2",
+        "--lora_strategy", "modal+language",
+        "--lora_r", "128", "--lora_alpha", "256",
+        "--local_prefix_tokens", "5", "--local_suffix_tokens", "5",
+        "--per_device_train_batch_size", str(BATCH),
+        "--max_steps", str(max_steps),
+        "--learning_rate", "2e-4", "--mm_projector_lr", "2e-5",
+        "--mm_language_lr", "1e-5",
+        "--quantize_frozen_base", "True",
+        "--loss_chunk", "256",
+        "--adam_mu_dtype", "bfloat16",
+        "--dataloader_num_workers", "2",
+        "--logging_steps", "1000",
+        "--save_steps", "0",
+        "--random_init_backbone",
+    ]
+    args = build_arg_parser().parse_args(argv)
+    tok = FakeLlamaTokenizer()
+    tok.model_max_length = 2048
+    t0 = time.perf_counter()
+    result = train(args, tokenizer=tok)
+    return time.perf_counter() - t0, result
+
+
+def main():
+    import jax
+    if jax.default_backend() != "tpu" and not TINY:
+        print(json.dumps({"error": "not on tpu"}))
+        return
+    tmp = tempfile.mkdtemp(prefix="mc_pipe_")
+    data_path, base_dir = make_dataset(tmp)
+
+    # compile pass (2 steps; jit cache stays warm in-process)
+    run_train(tmp, data_path, base_dir, 2, "out_warm")
+    gc.collect()
+    # timed pass
+    wall, result = run_train(tmp, data_path, base_dir, TIMED_STEPS,
+                             "out_timed")
+    # per-sample packed length: 586-token image span + prompt text
+    # (bucket 1024); count bucket tokens to match the step bench
+    sample_bucket = 1024
+    toks = TIMED_STEPS * BATCH * sample_bucket
+    gc.collect()
+
+    if TINY:
+        print(json.dumps({"tiny_smoke": "ok", "wall_s": round(wall, 2),
+                          "final_loss": result["final_loss"]}))
+        return
+    # device-only floor at the same compiled shape
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import bench_train
+    floor = bench_train.run_variant(
+        "floor", bench_train.stage2_cfg(), BATCH, sample_bucket,
+        int8_base=True, mu_dtype="bfloat16", stage1=False, steps=6)
+
+    pipeline_tps = toks / wall
+    step_s = floor["step_ms"] / 1e3
+    idle = max(0.0, 1.0 - (step_s * TIMED_STEPS) / wall)
+    out = {
+        "pipeline_tokens_per_sec": round(pipeline_tps, 1),
+        "pipeline_wall_s": round(wall, 2),
+        "device_step_ms": floor["step_ms"],
+        "device_only_tokens_per_sec": floor["tokens_per_sec"],
+        "device_idle_fraction": round(idle, 3),
+        "steps": TIMED_STEPS, "batch": BATCH, "bucket": sample_bucket,
+        "final_loss": result["final_loss"],
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_TRAIN.jsonl"), "a") as f:
+        f.write(json.dumps({"variant": "pipeline-e2e", **out}) + "\n")
+
+
+if __name__ == "__main__":
+    main()
