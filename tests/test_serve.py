@@ -73,7 +73,7 @@ def test_controller_http_api():
 
 class FakeModel:
     def generate(self, ids, modal_inputs, max_new_tokens=16,
-                 temperature=0.0, rng=None):
+                 temperature=0.0, rng=None, num_beams=1, top_p=1.0):
         return [[11, 12, 13]]
 
     def generate_stream(self, ids, modal_inputs, *, max_new_tokens,
@@ -138,7 +138,8 @@ def test_demo_app_index_and_generate(tmp_path):
         as build_demo_app
 
     class DemoModel:
-        def generate(self, ids, modal_inputs, max_new_tokens=128):
+        def generate(self, ids, modal_inputs, max_new_tokens=128,
+                     num_beams=1):
             return [[7, 8]]
 
     def loader(mp, mb, name):
