@@ -1,10 +1,10 @@
 #!/bin/bash
 # Legacy LLaVA QLoRA finetune (reference: /root/reference/scripts/
-# finetune_qlora.sh — 4-bit bnb base + LoRA).  Quantized TRAINING is
-# not supported here: this framework's quantization is weight-only int8
-# on the eval/serving side (ops/quant.py, loader --load-8bit; int4
-# measured ineffective on this chip, BASELINE.md), so this shell runs
-# the LoRA recipe in bf16.
+# finetune_qlora.sh — 4-bit bnb base + LoRA).  TPU-native counterpart:
+# --quantize_frozen_base trains LoRA over an int8-quantized FROZEN base
+# (train/train_multimodal.py; measured round 4 — the single-chip 7B
+# enabler, BENCH_TRAIN.jsonl).  int8 rather than bnb-int4 because int4
+# measured ineffective on this chip (BASELINE.md int4 probe).
 set -e
 BASE_PATH=$(cd "$(dirname "$0")"; pwd); BASE_PATH=${BASE_PATH%%/scripts*}
 cd $BASE_PATH
@@ -23,6 +23,9 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_vision_select_layer -2 \
     --pretrain_mm_mlp_adapter ./checkpoints/llava-pretrain/mm_projector.bin \
     --lora_strategy same \
+    --quantize_frozen_base True \
+    --loss_chunk 256 \
+    --adam_mu_dtype bfloat16 \
     --bf16 True \
     --output_dir ./checkpoints/llava-finetune_qlora \
     --num_train_epochs 1 \
