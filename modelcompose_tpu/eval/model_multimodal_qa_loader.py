@@ -66,6 +66,7 @@ def eval_model(args):
                 max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature,
                 num_beams=getattr(args, "num_beams", 1),
+                compact_adapters=getattr(args, "compact_adapters", False),
                 rng=rng if args.temperature > 0 else None)
             for j, token_ids in enumerate(outputs):
                 text = tokenizer.decode(token_ids,
@@ -97,6 +98,10 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--compact-adapters", action="store_true",
+                        help="gather adapter stacks to the batch-active "
+                             "columns before prefill (golden-pinned "
+                             "token-identical; ~5%% composed-prefill win)")
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument(

@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--video-file", type=str, default=None)
     parser.add_argument("--point-file", type=str, default=None)
     parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=512)
     args = parser.parse_args()
 
@@ -79,6 +81,7 @@ def main():
             [ids], modal_inputs if first_turn or True else {},
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature if args.temperature > 1e-4 else 0.0,
+            top_p=getattr(args, "top_p", 1.0),
             rng=rng)[0]
         text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
         stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
