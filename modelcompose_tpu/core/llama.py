@@ -42,17 +42,19 @@ Params = Dict[str, Any]
 def _init_lora(rng, n_layers, n_adapters, d_in, d_out, r, dtype):
     """LoRA init: A ~ kaiming-uniform(a=sqrt(5)) as in peft, B = 0."""
     bound = float(np.sqrt(6.0 / d_in))  # kaiming_uniform with a=sqrt(5)
+    # sampled directly in ``dtype`` — an fp32 stacked-leaf transient is
+    # 5.8 GB at 7B and random init must fit next to the resident tree
     a = jax.random.uniform(rng, (n_layers, n_adapters, d_in, r),
-                           minval=-bound, maxval=bound, dtype=jnp.float32)
-    b = jnp.zeros((n_layers, n_adapters, r, d_out), dtype=jnp.float32)
-    return a.astype(dtype), b.astype(dtype)
+                           minval=-bound, maxval=bound, dtype=dtype)
+    b = jnp.zeros((n_layers, n_adapters, r, d_out), dtype=dtype)
+    return a, b
 
 
 def _init_linear(rng, n_layers, n_adapters, d_in, d_out, r, dtype,
                  base_std=0.02):
     k_w, k_a = jax.random.split(rng)
-    w = (jax.random.normal(k_w, (n_layers, d_in, d_out), dtype=jnp.float32)
-         * base_std).astype(dtype)
+    w = jax.random.normal(k_w, (n_layers, d_in, d_out),
+                          dtype=dtype) * jnp.asarray(base_std, dtype)
     la, lb = _init_lora(k_a, n_layers, n_adapters, d_in, d_out, r, dtype)
     return {"w": w, "lora_a": la, "lora_b": lb}
 
@@ -68,8 +70,8 @@ def init_params(cfg: ModelConfig, rng) -> Params:
 
     keys = jax.random.split(rng, 12)
     params: Params = {
-        "embed_tokens": (jax.random.normal(keys[0], (V, H), jnp.float32)
-                         * 0.02).astype(dtype),
+        "embed_tokens": jax.random.normal(keys[0], (V, H), dtype)
+        * jnp.asarray(0.02, dtype),
         "layers": {
             "input_layernorm": jnp.ones((N, H), dtype),
             "post_attention_layernorm": jnp.ones((N, H), dtype),
@@ -86,8 +88,8 @@ def init_params(cfg: ModelConfig, rng) -> Params:
             },
         },
         "norm": jnp.ones((H,), dtype),
-        "lm_head": (jax.random.normal(keys[8], (H, V), jnp.float32)
-                    * 0.02).astype(dtype),
+        "lm_head": jax.random.normal(keys[8], (H, V), dtype)
+        * jnp.asarray(0.02, dtype),
     }
     # Learned per-modality prefix/suffix soft tokens (reference:
     # multimodal_llama.py:633-649), initialized to zeros as in the reference.

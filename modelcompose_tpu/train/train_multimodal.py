@@ -304,7 +304,10 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                 "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
         from ..ops.quant import quantize_backbone
         import jax as _jax
-        model.params = _jax.jit(quantize_backbone)(model.params)
+        # donate: the bf16 base frees as each leaf quantizes — without it
+        # both trees are resident (20.5 GB at 7B) and the load OOMs
+        model.params = _jax.jit(quantize_backbone,
+                                donate_argnums=(0,))(model.params)
 
     mesh = mesh_for_batch(B, allow_partial=True)
     n_dev = len(jax.devices())
