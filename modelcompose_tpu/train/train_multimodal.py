@@ -302,12 +302,24 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             raise ValueError(
                 "--quantize_frozen_base requires frozen base weights "
                 "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
-        from ..ops.quant import quantize_backbone
+        from ..ops.quant import quantize_int8
         import jax as _jax
-        # donate: the bf16 base frees as each leaf quantizes — without it
-        # both trees are resident (20.5 GB at 7B) and the load OOMs
-        model.params = _jax.jit(quantize_backbone,
-                                donate_argnums=(0,))(model.params)
+        # Quantize LEAF BY LEAF with donation, dropping each bf16
+        # reference before the call: a whole-tree jitted quantize holds
+        # both trees at its peak (13.5 GB bf16 + 7 GB int8 + workspace)
+        # and OOMs a 16 GB chip next to the towers; per-leaf donation
+        # caps the peak at tree + one leaf.
+        qjit = _jax.jit(quantize_int8, donate_argnums=(0,),
+                        static_argnames=("axis",))
+        layers = model.params["layers"]
+        for grp in ("attn", "mlp"):
+            for name in layers[grp]:
+                w = layers[grp][name].pop("w")
+                layers[grp][name]["w"] = qjit(w)
+                del w
+        lm = model.params.pop("lm_head")
+        model.params["lm_head"] = qjit(lm)
+        del lm
 
     mesh = mesh_for_batch(B, allow_partial=True)
     n_dev = len(jax.devices())

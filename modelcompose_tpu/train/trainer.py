@@ -76,12 +76,14 @@ class TrainConfig:
 
 
 def normalized_warmup_cosine(warmup_steps: int, total_steps: int):
-    """Multiplier schedule in [0, 1] (HF cosine-with-warmup shape)."""
-    warmup_steps = max(warmup_steps, 1)
+    """Multiplier schedule in [0, 1] (HF cosine-with-warmup shape,
+    transformers get_cosine_schedule_with_warmup: warmup_steps == 0 goes
+    straight to the cosine — multiplier 1.0 at step 0, not 0.0)."""
+    warmup_div = max(warmup_steps, 1)
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = step / warmup_steps
+        warm = step / warmup_div
         denom = jnp.maximum(total_steps - warmup_steps, 1)
         progress = (step - warmup_steps) / denom
         cos = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(progress, 0.0, 1.0)))
