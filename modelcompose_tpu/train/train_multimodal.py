@@ -302,24 +302,40 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             raise ValueError(
                 "--quantize_frozen_base requires frozen base weights "
                 "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
-        from ..ops.quant import quantize_int8
         import jax as _jax
+        import jax.numpy as _jnp
         # Quantize LEAF BY LEAF with donation, dropping each bf16
         # reference before the call: a whole-tree jitted quantize holds
         # both trees at its peak (13.5 GB bf16 + 7 GB int8 + workspace)
-        # and OOMs a 16 GB chip next to the towers; per-leaf donation
-        # caps the peak at tree + one leaf.
-        qjit = _jax.jit(quantize_int8, donate_argnums=(0,),
-                        static_argnames=("axis",))
+        # and OOMs a 16 GB chip next to the towers.  The scale reduce and
+        # the int8 write are SEPARATE jits so the fp32 cast has a single
+        # consumer in each and fuses — quantize_int8's one-jit form lets
+        # XLA materialize a full fp32 copy of the leaf (5.8 GB for a
+        # stacked 7B MLP weight).
+        amax_jit = _jax.jit(lambda x: _jnp.max(
+            _jnp.abs(x).astype(_jnp.float32), axis=-2, keepdims=True))
+        q_jit = _jax.jit(
+            lambda x, s: _jnp.clip(
+                _jnp.round(x.astype(_jnp.float32) / s), -127, 127
+            ).astype(_jnp.int8), donate_argnums=(0,))
+
+        def quant_leaf(w):
+            scale = _jnp.maximum(amax_jit(w) / 127.0, 1e-8)
+            return {"q": q_jit(w, scale),
+                    "scale": scale.astype(_jnp.float32)}
+
         layers = model.params["layers"]
         for grp in ("attn", "mlp"):
             for name in layers[grp]:
                 w = layers[grp][name].pop("w")
-                layers[grp][name]["w"] = qjit(w)
+                layers[grp][name]["w"] = quant_leaf(w)
                 del w
         lm = model.params.pop("lm_head")
-        model.params["lm_head"] = qjit(lm)
+        model.params["lm_head"] = quant_leaf(lm)
         del lm
+        if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
+            np.asarray(model.params["layers"]["mlp"]["down"]["w"]["scale"])
+            print("[train] debug-sync: quantize done", flush=True)
 
     mesh = mesh_for_batch(B, allow_partial=True)
     n_dev = len(jax.devices())
@@ -344,8 +360,14 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     # init_train_state applies ZeRO-1 moment sharding over the data axis
     # when the mesh has one (the DeepSpeed-ZeRO role, reference:
     # run_finetune_vision_damc.sh:30 zero3 config)
+    if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
+        np.asarray(jax.tree.leaves(params)[0])
+        print("[train] debug-sync: shard_params done", flush=True)
     state = init_train_state(cfg, tc, params, model.projectors,
                              tower_params=tower_params, mesh=mesh)
+    if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
+        np.asarray(state.step)
+        print("[train] debug-sync: opt init done", flush=True)
     tx, _ = make_optimizer(cfg, tc, state.params)
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:

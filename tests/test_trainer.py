@@ -214,38 +214,45 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     batch, layout = _make_batch(model, B=4)
 
     def half(b, sl):
+        # slice rows AND rebase feat_idx onto the halved feature table
+        # (plan_pack's indices are absolute into the batch's flattened
+        # features — the train entry re-plans each micro-batch)
         out = {}
+        span = layout[0][2]
+        base = sl.start * span
         for k, v in b.items():
             if k == "encoder_features":
                 out[k] = {m: f[sl] for m, f in v.items()}
+            elif k == "feat_idx":
+                out[k] = jnp.where(b["is_feat"][sl], v[sl] - base, 0)
             else:
                 out[k] = v[sl]
         return out
 
-    # big-batch step
-    state_a = init_train_state(model.cfg, tc, model.params,
-                               model.projectors)
-    tx_a, _ = make_optimizer(model.cfg, tc, state_a.params)
-    step = make_train_step(model.cfg, tc, tx_a, attn_impl="xla",
-                           donate=False)
-    state_a, _ = step(state_a, batch, layout)
-
-    # two micro-batches accumulated
     state_b = init_train_state(model.cfg, tc, model.params,
                                model.projectors)
     tx_b, _ = make_optimizer(model.cfg, tc, state_b.params)
     grad_fn, apply_fn, accumulate = make_grad_and_apply(model.cfg, tc, tx_b,
                                                         attn_impl="xla")
+    # big-batch gradients vs two accumulated micro-batches: the
+    # accumulation CONTRACT is gradient equality (post-Adam params are
+    # sign-unstable where a gradient element is ~0 — the update is
+    # +/-lr either way, so comparing params would test noise)
+    _, g_big = grad_fn(state_b.params, batch, layout)
     half_layout = (("vision", 2, layout[0][2]),)
     _, g1 = grad_fn(state_b.params, half(batch, slice(0, 2)), half_layout)
     _, g2 = grad_fn(state_b.params, half(batch, slice(2, 4)), half_layout)
     total = accumulate(g1, g2, 1.0)
     total = jax.tree.map(lambda x: x / 2, total)
-    state_b = apply_fn(state_b, total)
-
-    pa = np.asarray(state_a.params["projectors"]["vision"]["layers"][0]["w"])
-    pb = np.asarray(state_b.params["projectors"]["vision"]["layers"][0]["w"])
-    np.testing.assert_allclose(pa, pb, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_big), jax.tree.leaves(total)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # and the apply path runs (params move)
+    state_b2 = apply_fn(state_b, total)
+    w0 = np.asarray(state_b.params["projectors"]["vision"]["layers"][0]["w"])
+    w1 = np.asarray(
+        state_b2.params["projectors"]["vision"]["layers"][0]["w"])
+    assert np.abs(w1 - w0).max() > 0
 
 
 @pytest.mark.slow
