@@ -182,6 +182,10 @@ def composed_longctx(steps=128):
         "longctx_prefill_tok_per_sec": round(L_valid / t_prefill, 1),
         "prefill_mfu_4096": round(mfu, 3),
         "longctx_positions": L_valid,
+        # key name kept for cross-round comparison; since round 4 the
+        # workload packs at the bucket the packer PICKS (prefill_bucket,
+        # 3328) — the MCUB-4 prompt no longer pads to 4096
+        "prefill_mfu": round(mfu, 3),
         "prefill_bucket": L,
         "active_adapters": len(active),
     }

@@ -24,14 +24,15 @@ def stop_str_for(conv_template) -> str:
 
 def generate_text(model, tokenizer, prompt: str, modal_inputs, *,
                   temperature: float, max_new_tokens: int, rng,
-                  stop_str, num_beams: int = 1) -> str:
+                  stop_str, num_beams: int = 1,
+                  top_p: float = 1.0) -> str:
     """One greedy/sampled/beam generation, decoded and stop-stripped
     (num_beams>1 runs beam search, reference: model_vqa.py:72,109)."""
     ids = np.asarray(tokenizer_modal_token(prompt, tokenizer), np.int64)
     tokens = model.generate(
         [ids], modal_inputs, max_new_tokens=max_new_tokens,
         temperature=temperature if temperature > 1e-4 else 0.0,
-        num_beams=num_beams, rng=rng)[0]
+        top_p=top_p, num_beams=num_beams, rng=rng)[0]
     text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
     if stop_str and text.endswith(stop_str):
         text = text[:-len(stop_str)]

@@ -66,6 +66,7 @@ def eval_model(args):
                 max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature,
                 num_beams=getattr(args, "num_beams", 1),
+                top_p=getattr(args, "top_p", 1.0),
                 compact_adapters=getattr(args, "compact_adapters", False),
                 rng=rng if args.temperature > 0 else None)
             for j, token_ids in enumerate(outputs):
@@ -98,6 +99,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--compact-adapters", action="store_true",
                         help="gather adapter stacks to the batch-active "
                              "columns before prefill (golden-pinned "

@@ -67,7 +67,8 @@ def eval_model(args, loaded=None):
                                  temperature=args.temperature,
                                  max_new_tokens=args.max_new_tokens,
                                  rng=sub, stop_str=stop_str,
-                                 num_beams=getattr(args, "num_beams", 1))
+                                 num_beams=getattr(args, "num_beams", 1),
+                                 top_p=getattr(args, "top_p", 1.0))
             ans_file.write(json.dumps({
                 "question_id": q["question_id"],
                 "prompt": q["text"],
@@ -92,6 +93,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     args = parser.parse_args()
     eval_model(args)

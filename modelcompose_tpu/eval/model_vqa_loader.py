@@ -101,7 +101,8 @@ def eval_model(args, loaded=None):
                 max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature
                 if args.temperature > 1e-4 else 0.0,
-                num_beams=getattr(args, "num_beams", 1), rng=sub)[0]
+                num_beams=getattr(args, "num_beams", 1),
+                top_p=getattr(args, "top_p", 1.0), rng=sub)[0]
             text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
             if stop_str and text.endswith(stop_str):
                 text = text[:-len(stop_str)]
@@ -128,6 +129,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--no_add_image_token", action="store_true")

@@ -129,7 +129,9 @@ def eval_model(args, loaded=None):
                     model, tokenizer, conv.get_prompt(), modal_inputs,
                     temperature=args.temperature,
                     max_new_tokens=args.max_new_tokens, rng=sub,
-                    stop_str=stop_str, num_beams=getattr(args, "num_beams", 1))
+                    stop_str=stop_str,
+                    num_beams=getattr(args, "num_beams", 1),
+                    top_p=getattr(args, "top_p", 1.0))
 
                 ans_file.write(json.dumps({
                     "question_id": idx,
@@ -161,6 +163,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--all-rounds", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")

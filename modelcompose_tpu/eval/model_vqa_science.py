@@ -81,7 +81,8 @@ def eval_model(args, loaded=None):
                                     temperature=args.temperature,
                                     max_new_tokens=args.max_new_tokens,
                                     rng=sub, stop_str=stop_str,
-                                    num_beams=getattr(args, "num_beams", 1))
+                                    num_beams=getattr(args, "num_beams", 1),
+                                    top_p=getattr(args, "top_p", 1.0))
 
             if args.answer_prompter:
                 # second turn: re-query for the bare option letter
@@ -119,6 +120,8 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--num-beams", "--num_beams",
                         dest="num_beams", type=int, default=1)
+    parser.add_argument("--top-p", "--top_p", dest="top_p",
+                        type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--answer-prompter", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")

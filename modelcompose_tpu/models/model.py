@@ -234,7 +234,10 @@ class MultimodalLM:
             False)
         kv_lens = lengths
         eos = self.cfg.eos_token_id
-        key = jax.random.PRNGKey(rng_seed if rng_seed is not None else 0)
+        import os as _os
+        key = jax.random.PRNGKey(
+            rng_seed if rng_seed is not None
+            else int.from_bytes(_os.urandom(4), "little"))
         temps = jnp.asarray(list(temperatures), jnp.float32)
         tps = jnp.asarray([1.0] * B if top_ps is None else list(top_ps),
                           jnp.float32)
@@ -283,16 +286,6 @@ class MultimodalLM:
             routing_table=self.routing_table,
             segment_ids=plan.segment_ids, attn_impl=attn_impl)
         return causal_lm_loss(logits, jnp.asarray(plan.labels))
-
-
-def sample_token(row: np.ndarray, temperature: float, rng) -> int:
-    """Host-side per-row sampling shared by the streaming paths
-    (generate_stream, serve/slot_engine): softmax sampling above the
-    greedy threshold, argmax below it."""
-    if temperature > 1e-4:
-        p = np.exp((row - row.max()) / temperature)
-        return int(rng.choice(len(row), p=p / p.sum()))
-    return int(row.argmax())
 
 
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -97,7 +97,7 @@ class DemoApp:
         # num_beams passthrough (reference: demo_app.py:129-134 forwards
         # it to HF generate)
         try:
-            num_beams = max(1, int(data.get("num_beams", 1) or 1))
+            num_beams = min(8, max(1, int(data.get("num_beams", 1) or 1)))
         except (TypeError, ValueError):
             num_beams = 1
         tokens = self.model.generate([ids], modal_inputs,

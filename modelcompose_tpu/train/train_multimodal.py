@@ -302,28 +302,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             raise ValueError(
                 "--quantize_frozen_base requires frozen base weights "
                 "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
-        import jax as _jax
-        import jax.numpy as _jnp
+        from ..ops.quant import quantize_leaf_lowmem as quant_leaf
         # Quantize LEAF BY LEAF with donation, dropping each bf16
         # reference before the call: a whole-tree jitted quantize holds
         # both trees at its peak (13.5 GB bf16 + 7 GB int8 + workspace)
-        # and OOMs a 16 GB chip next to the towers.  The scale reduce and
-        # the int8 write are SEPARATE jits so the fp32 cast has a single
-        # consumer in each and fuses — quantize_int8's one-jit form lets
-        # XLA materialize a full fp32 copy of the leaf (5.8 GB for a
-        # stacked 7B MLP weight).
-        amax_jit = _jax.jit(lambda x: _jnp.max(
-            _jnp.abs(x).astype(_jnp.float32), axis=-2, keepdims=True))
-        q_jit = _jax.jit(
-            lambda x, s: _jnp.clip(
-                _jnp.round(x.astype(_jnp.float32) / s), -127, 127
-            ).astype(_jnp.int8), donate_argnums=(0,))
-
-        def quant_leaf(w):
-            scale = _jnp.maximum(amax_jit(w) / 127.0, 1e-8)
-            return {"q": q_jit(w, scale),
-                    "scale": scale.astype(_jnp.float32)}
-
+        # and OOMs a 16 GB chip next to the towers.
         layers = model.params["layers"]
         for grp in ("attn", "mlp"):
             for name in layers[grp]:
@@ -387,7 +370,9 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             total = micro_grads[0]
             for g in micro_grads[1:]:
                 total = accumulate(total, g, 1.0)
-            total = _jax.tree.map(lambda x: x / accum, total)
+            total = _jax.tree.map(
+                lambda x: x if getattr(x, "dtype", None) ==
+                _jax.dtypes.float0 else x / accum, total)
             micro_grads.clear()
             return apply_fn(state, total), loss
     else:

@@ -455,17 +455,26 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
 
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
             train_params)
-        return loss, _densify_int_grads(grads, train_params)
+        # frozen int leaves keep their zero-sized float0 grads ACROSS the
+        # jit boundary — densifying here would materialize base-weight-
+        # sized zero buffers per micro-batch (7 GB int8 each at 7B, then
+        # promoted to fp32 by accumulate), defeating quantize_frozen_base
+        return loss, grads
 
     @jax.jit
     def apply_fn(state: TrainState, grads):
+        grads = _densify_int_grads(grads, state.params)  # DCE'd (frozen)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(params=new_params, opt_state=new_opt,
                           step=state.step + 1)
 
+    def _is_f0(x):
+        return getattr(x, "dtype", None) == jax.dtypes.float0
+
     @jax.jit
     def accumulate(acc, grads, weight):
-        return jax.tree.map(lambda a, g: a + g * weight, acc, grads)
+        return jax.tree.map(
+            lambda a, g: a if _is_f0(a) else a + g * weight, acc, grads)
 
     return grad_fn, apply_fn, accumulate
