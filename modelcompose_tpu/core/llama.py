@@ -59,7 +59,13 @@ def _init_linear(rng, n_layers, n_adapters, d_in, d_out, r, dtype,
     return {"w": w, "lora_a": la, "lora_b": lb}
 
 
-def init_params(cfg: ModelConfig, rng) -> Params:
+def init_params(cfg: ModelConfig, rng, quantize_base: bool = False
+                ) -> Params:
+    """quantize_base=True int8-quantizes each base weight IMMEDIATELY
+    after sampling it (ops/quant.quantize_leaf_lowmem), so the full bf16
+    tree never exists — at 7B the bf16 tree (13.4 GB) plus towers leaves
+    no headroom on a 16 GB chip for anything else; interleaved
+    init+quantize peaks at the final int8 tree + one bf16 leaf."""
     dtype = jnp.dtype(cfg.dtype)
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     N = cfg.num_hidden_layers
@@ -67,6 +73,16 @@ def init_params(cfg: ModelConfig, rng) -> Params:
     r = cfg.lora_r
     hd = cfg.head_dim
     kv_out = cfg.num_key_value_heads * hd
+
+    def quantized(p):
+        if not quantize_base:
+            return p
+        from ..ops.quant import quantize_leaf_lowmem
+        if isinstance(p, dict):
+            w = p.pop("w")
+            p["w"] = quantize_leaf_lowmem(w)
+            return p
+        return quantize_leaf_lowmem(p)
 
     keys = jax.random.split(rng, 12)
     params: Params = {
@@ -76,20 +92,24 @@ def init_params(cfg: ModelConfig, rng) -> Params:
             "input_layernorm": jnp.ones((N, H), dtype),
             "post_attention_layernorm": jnp.ones((N, H), dtype),
             "attn": {
-                "q": _init_linear(keys[1], N, A, H, H, r, dtype),
-                "k": _init_linear(keys[2], N, A, H, kv_out, r, dtype),
-                "v": _init_linear(keys[3], N, A, H, kv_out, r, dtype),
-                "o": _init_linear(keys[4], N, A, H, H, r, dtype),
+                "q": quantized(_init_linear(keys[1], N, A, H, H, r, dtype)),
+                "k": quantized(
+                    _init_linear(keys[2], N, A, H, kv_out, r, dtype)),
+                "v": quantized(
+                    _init_linear(keys[3], N, A, H, kv_out, r, dtype)),
+                "o": quantized(_init_linear(keys[4], N, A, H, H, r, dtype)),
             },
             "mlp": {
-                "gate": _init_linear(keys[5], N, A, H, I, r, dtype),
-                "up": _init_linear(keys[6], N, A, H, I, r, dtype),
-                "down": _init_linear(keys[7], N, A, I, H, r, dtype),
+                "gate": quantized(
+                    _init_linear(keys[5], N, A, H, I, r, dtype)),
+                "up": quantized(_init_linear(keys[6], N, A, H, I, r, dtype)),
+                "down": quantized(
+                    _init_linear(keys[7], N, A, I, H, r, dtype)),
             },
         },
         "norm": jnp.ones((H,), dtype),
-        "lm_head": jax.random.normal(keys[8], (H, V), dtype)
-        * jnp.asarray(0.02, dtype),
+        "lm_head": quantized(jax.random.normal(keys[8], (H, V), dtype)
+                             * jnp.asarray(0.02, dtype)),
     }
     # Learned per-modality prefix/suffix soft tokens (reference:
     # multimodal_llama.py:633-649), initialized to zeros as in the reference.

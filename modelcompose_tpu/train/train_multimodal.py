@@ -172,7 +172,12 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
 
     if args.random_init_backbone:
         from ..core.llama import init_params
-        params = init_params(cfg, k_lm)
+        # interleaved init+quantize: the full bf16 tree never exists
+        # (13.4 GB at 7B would leave no headroom next to the towers)
+        params = init_params(
+            cfg, k_lm,
+            quantize_base=getattr(args, "quantize_frozen_base", False)
+            and (cfg.lora_strategy is not None or args.tune_mm_mlp_adapter))
     else:
         from ..compose.convert import hf_llama_to_params
         from ..models.loader import load_hf_llama_dir
@@ -302,20 +307,25 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             raise ValueError(
                 "--quantize_frozen_base requires frozen base weights "
                 "(a lora_strategy, or stage-1 --tune_mm_mlp_adapter)")
+        from ..ops.quant import is_quantized
         from ..ops.quant import quantize_leaf_lowmem as quant_leaf
         # Quantize LEAF BY LEAF with donation, dropping each bf16
         # reference before the call: a whole-tree jitted quantize holds
         # both trees at its peak (13.5 GB bf16 + 7 GB int8 + workspace)
-        # and OOMs a 16 GB chip next to the towers.
+        # and OOMs a 16 GB chip next to the towers.  (random_init path
+        # arrives pre-quantized from init_params(quantize_base=True).)
         layers = model.params["layers"]
         for grp in ("attn", "mlp"):
             for name in layers[grp]:
+                if is_quantized(layers[grp][name]["w"]):
+                    continue
                 w = layers[grp][name].pop("w")
                 layers[grp][name]["w"] = quant_leaf(w)
                 del w
-        lm = model.params.pop("lm_head")
-        model.params["lm_head"] = quant_leaf(lm)
-        del lm
+        if not is_quantized(model.params["lm_head"]):
+            lm = model.params.pop("lm_head")
+            model.params["lm_head"] = quant_leaf(lm)
+            del lm
         if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
             np.asarray(model.params["layers"]["mlp"]["down"]["w"]["scale"])
             print("[train] debug-sync: quantize done", flush=True)
