@@ -110,13 +110,29 @@ def beam_generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
                   length_penalty: float = 1.0, early_stopping: bool = False,
                   scoring_prompt_len: Optional[int] = None,
                   cache_len: Optional[int] = None,
-                  attn_impl: str = "auto") -> List[List[int]]:
+                  attn_impl: str = "auto",
+                  temperature: float = 0.0, top_p: float = 1.0, rng=None,
+                  _draw_override=None) -> List[List[int]]:
     """Beam-search decode for one packed prompt (batch 1).
 
     Args mirror ``generate``; ``scoring_prompt_len`` is the RAW text
     prompt length used for HF-compatible length normalization (defaults
     to the packed valid length, which matches HF only for text-only
     prompts).  Returns ``[best_tokens]`` (eos excluded), like generate.
+
+    temperature > 0 runs STOCHASTIC beam sampling — transformers 4.31
+    ``beam_sample``, which the reference reaches via
+    ``generate(num_beams=N, do_sample=temperature>0)`` (reference:
+    eval/model_multimodal_qa_loader.py:96-100): the candidate scores
+    (logprob + running beam score) are temperature-divided and top-p
+    filtered per beam row (4.31's warper order), softmaxed over the
+    flattened [beams*V], and 2*num_beams candidates drawn WITHOUT
+    replacement, then sorted by warped score and fed to the same scorer.
+    The warped values also become the running beam scores — 4.31's
+    (quirky) accumulation, kept for parity.  ``_draw_override`` is a
+    test hook: per-step arrays of flat candidate indices replacing the
+    random draw, so bookkeeping parity vs the HF oracle is testable
+    across RNGs (tests/test_beam_golden.py).
     """
     B, L, _ = inputs_embeds.shape
     assert B == 1, "beam_generate packs one prompt (the eval protocol)"
@@ -152,15 +168,43 @@ def beam_generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
     beam_scores[0] = 0.0
     beam_tokens: List[List[int]] = [[] for _ in range(num_beams)]
     done = False
+    do_sample = temperature and temperature > 0.0
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
 
-    for _ in range(max_new_tokens):
+    for step_i in range(max_new_tokens):
         host = np.asarray(logits, np.float32).astype(np.float64)
         # log_softmax, numerically like torch's
         host = host - host.max(axis=-1, keepdims=True)
         host = host - np.log(np.exp(host).sum(axis=-1, keepdims=True))
         V = host.shape[-1]
-        flat = (host + beam_scores[:, None]).reshape(-1)
-        top = np.argsort(-flat, kind="stable")[: 2 * num_beams]
+        scores = host + beam_scores[:, None]
+        if do_sample:
+            # 4.31 beam_sample: warp (temperature then top-p) the
+            # score rows, softmax over the flattened beams*V, draw
+            # 2*num_beams WITHOUT replacement, sort by warped score
+            from .sampling import top_p_filter
+            warped = scores / float(temperature)
+            if top_p is not None and top_p < 1.0:
+                warped = np.asarray(top_p_filter(
+                    jnp.asarray(warped, jnp.float32),
+                    jnp.float32(top_p)), np.float64)
+                warped[warped <= jnp.finfo(jnp.float32).min] = -np.inf
+            flat = warped.reshape(-1)
+            if _draw_override is not None:
+                drawn = np.asarray(_draw_override[step_i])
+            else:
+                rng, sub = jax.random.split(rng)
+                # Gumbel top-k == categorical sampling w/o replacement
+                z = flat + np.asarray(jax.random.gumbel(
+                    sub, (flat.shape[0],), jnp.float32), np.float64)
+                z[~np.isfinite(flat)] = -np.inf
+                drawn = np.argsort(-z, kind="stable")[: 2 * num_beams]
+            order = np.argsort(-flat[drawn], kind="stable")
+            top = drawn[order]
+        else:
+            flat = scores.reshape(-1)
+            top = np.argsort(-flat, kind="stable")[: 2 * num_beams]
         cand_scores = flat[top]
         cand_tokens = top % V
         cand_beams = top // V

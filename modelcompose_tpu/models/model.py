@@ -146,8 +146,9 @@ class MultimodalLM:
         if compact_adapters and route_ids is not None:
             params, table = self._compacted(np.unique(np.asarray(route_ids)))
         if num_beams and num_beams > 1:
-            # HF dispatches num_beams>1 to beam search (reference:
-            # eval/model_multimodal_qa_loader.py:100,137); scoring length
+            # HF dispatches num_beams>1 to beam search — or beam SAMPLE
+            # when do_sample (temperature>0), reference:
+            # eval/model_multimodal_qa_loader.py:96-100; scoring length
             # = RAW text ids (modal placeholders unexpanded), matching
             # HF's input_ids-based length normalization.
             from ..core.beam import beam_generate
@@ -159,6 +160,7 @@ class MultimodalLM:
                 segment_ids=plan.segment_ids, num_beams=num_beams,
                 max_new_tokens=max_new_tokens,
                 scoring_prompt_len=len(np.asarray(input_ids[0])),
+                temperature=temperature, top_p=top_p, rng=rng,
                 attn_impl=attn_impl)
         return generation.generate(
             params, self.cfg, embeds, lengths=plan.lengths,

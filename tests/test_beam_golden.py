@@ -194,3 +194,123 @@ def test_beam_one_uses_greedy(monkeypatch, tmp_path):
                             STEPS)
     assert ours.generate([ids], {"vision": vis}, max_new_tokens=STEPS,
                          num_beams=1)[0] == ref
+
+
+def _reference_beam_sample(model, ids, modal_inputs, max_new, num_beams,
+                           temperature, top_p, seed=11):
+    """4.31 ``beam_sample`` over the reference model, manual stepping;
+    returns (tokens, per-step drawn flat candidate indices)."""
+    import torch
+
+    gen = torch.Generator().manual_seed(seed)
+    eos = int(model.config.eos_token_id)
+    prompt_len = len(np.asarray(ids))
+    ids_t = torch.tensor(np.asarray(ids))[None].repeat(num_beams, 1)
+
+    def expand(v):
+        if isinstance(v, dict):
+            return {k: expand(x) for k, x in v.items()}
+        return v.repeat(num_beams, *([1] * (v.dim() - 1)))
+
+    modal = {m: expand(v) for m, v in modal_inputs.items()}
+    attn = torch.ones_like(ids_t)
+    beam_scores = torch.full((num_beams,), -1e9, dtype=torch.float64)
+    beam_scores[0] = 0.0
+    hyps = _Hyps(num_beams)
+    past, done = None, False
+    draws = []
+    with torch.no_grad():
+        for _ in range(max_new):
+            model_inputs = model.prepare_inputs_for_generation(
+                ids_t, past_key_values=past, attention_mask=attn,
+                use_cache=True, modal_inputs=modal)
+            out = model(**model_inputs)
+            logprobs = torch.log_softmax(out.logits[:, -1].double(), -1)
+            scores = logprobs + beam_scores[:, None]
+            # 4.31 warper order: temperature, then top-p per beam row
+            scores = scores / temperature
+            from transformers.generation.logits_process import \
+                TopPLogitsWarper
+            scores = TopPLogitsWarper(top_p=top_p)(None, scores.float()
+                                                   ).double()
+            V = scores.shape[-1]
+            flat = scores.reshape(1, num_beams * V)
+            probs = torch.softmax(flat, dim=-1)
+            drawn = torch.multinomial(probs[0], 2 * num_beams,
+                                      generator=gen)
+            draws.append(drawn.numpy().copy())
+            sel_scores = flat[0, drawn]
+            sel_scores, order = torch.sort(sel_scores, descending=True)
+            drawn = drawn[order]
+            cur_len = ids_t.shape[-1]
+            next_scores = torch.empty(num_beams, dtype=torch.float64)
+            next_tokens = torch.empty(num_beams, dtype=torch.long)
+            next_beams = torch.empty(num_beams, dtype=torch.long)
+            filled = 0
+            for rank in range(2 * num_beams):
+                tok = int(drawn[rank] % V)
+                src = int(drawn[rank] // V)
+                sc = float(sel_scores[rank])
+                if tok == eos:
+                    if rank >= num_beams:
+                        continue
+                    hyps.add(ids_t[src].tolist(), sc, cur_len)
+                else:
+                    next_scores[filled] = sc
+                    next_tokens[filled] = tok
+                    next_beams[filled] = src
+                    filled += 1
+                if filled == num_beams:
+                    break
+            done = done or hyps.is_done(float(sel_scores.max()), cur_len)
+            if done:
+                break
+            ids_t = torch.cat(
+                [ids_t[next_beams], next_tokens[:, None]], dim=-1)
+            attn = torch.ones_like(ids_t)
+            past = tuple(tuple(t[next_beams] for t in layer)
+                         for layer in out.past_key_values)
+            beam_scores = next_scores
+    if not done:
+        for b in range(num_beams):
+            hyps.add(ids_t[b].tolist(), float(beam_scores[b]),
+                     ids_t.shape[-1])
+    best = max(hyps.beams, key=lambda sb: sb[0])[1]
+    return best[prompt_len:], draws
+
+
+def test_beam_sample_bookkeeping_identical(monkeypatch, tmp_path):
+    """Stochastic beam sampling (num_beams>1 + temperature>0, HF 4.31
+    beam_sample): with the oracle's multinomial draws replayed through
+    ``_draw_override``, every downstream piece — warping, candidate
+    sorting, scorer, cache reorder, length normalization — must produce
+    token-identical output.  (RNG streams differ across frameworks; the
+    draw is the only thing excluded.)"""
+    import torch
+
+    from modelcompose_tpu.core.beam import beam_generate
+    from modelcompose_tpu.data.tokenization import \
+        tokenizer_modal_token  # noqa: F401  (import sanity)
+
+    mm, cfg, ref_model = _build_reference_model(None)
+    base_dir, ckpt_dir = _export_reference_ckpt(ref_model, cfg, tmp_path)
+    ours = _load_ours(base_dir, ckpt_dir, monkeypatch)
+
+    rs = np.random.RandomState(13)
+    vis = rs.randn(1, T_VIS, E_VIS).astype(np.float32)
+    ids = np.array([1, 5, IMG, 7, 8, 9])
+    for temperature, top_p in ((0.9, 0.8), (1.3, 1.0)):
+        ref_tokens, draws = _reference_beam_sample(
+            ref_model, ids, {"vision": torch.from_numpy(vis)}, STEPS, 3,
+            temperature, top_p)
+        embeds, plan = ours.prepare_batch([ids], {"vision": vis})
+        our_tokens = beam_generate(
+            ours.params, ours.cfg, embeds, lengths=plan.lengths,
+            route_ids=plan.route_ids if ours.cfg.routing_active() else None,
+            routing_table=ours.routing_table,
+            segment_ids=plan.segment_ids, num_beams=3,
+            max_new_tokens=STEPS, scoring_prompt_len=len(ids),
+            temperature=temperature, top_p=top_p,
+            _draw_override=draws)[0]
+        assert our_tokens == ref_tokens, (
+            f"t={temperature} p={top_p} ours={our_tokens} ref={ref_tokens}")
