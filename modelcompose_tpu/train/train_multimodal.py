@@ -101,6 +101,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--logging_steps", type=int, default=10)
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
+    p.add_argument("--gradient_checkpointing", type=lambda s: s == "True",
+                   default=False,
+                   help="rematerialize decoder layers in the backward "
+                        "(reference recipes pass True; without it the 7B "
+                        "step needs ~29 GB of activations)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init_backbone", action="store_true",
                    help="debug/tests: skip base weight loading")
@@ -140,6 +145,7 @@ def build_model_config(args) -> ModelConfig:
         mm_vision_select_feature=args.mm_vision_select_feature,
         mm_video_select_layer=args.mm_video_select_layer,
         dtype="bfloat16" if args.bf16 else "float32",
+        remat=getattr(args, "gradient_checkpointing", False),
     )
     base_cfg_path = os.path.join(args.model_name_or_path, "config.json")
     if os.path.exists(base_cfg_path):

@@ -94,6 +94,7 @@ def run_train(tmp, data_path, base_dir, max_steps, outdir):
         "--max_steps", str(max_steps),
         "--learning_rate", "2e-4", "--mm_projector_lr", "2e-5",
         "--mm_language_lr", "1e-5",
+        "--gradient_checkpointing", "True",
         "--quantize_frozen_base", "True",
         "--loss_chunk", "256",
         "--adam_mu_dtype", "bfloat16",

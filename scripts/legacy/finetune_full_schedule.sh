@@ -19,6 +19,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_vision_select_layer -2 \
     --pretrain_mm_mlp_adapter ./checkpoints/llava-pretrain/mm_projector.bin \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/llava-finetune_full_schedule \
     --num_train_epochs 3 \
     --per_device_train_batch_size 16 \

@@ -20,6 +20,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --pretrain_mm_mlp_adapter ./checkpoints/llava-pretrain/mm_projector.bin \
     --lora_strategy same \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/llava-finetune_lora \
     --num_train_epochs 1 \
     --per_device_train_batch_size 16 \

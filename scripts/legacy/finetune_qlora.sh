@@ -27,6 +27,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --loss_chunk 256 \
     --adam_mu_dtype bfloat16 \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/llava-finetune_qlora \
     --num_train_epochs 1 \
     --per_device_train_batch_size 16 \

@@ -20,6 +20,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_vision_select_layer -2 \
     --tune_mm_mlp_adapter True \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/llava-pretrain \
     --num_train_epochs 1 \
     --per_device_train_batch_size 16 \

@@ -18,6 +18,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_audio_projector_type qformer_32N_2L \
     --pretrain_mm_mlp_adapter $PRETRAIN_ADAPTER_PATH \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-audio-finetune-proj-only \
     --num_train_epochs 1 \
     --per_device_train_batch_size 8 \

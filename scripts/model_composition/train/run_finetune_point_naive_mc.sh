@@ -22,6 +22,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_point_projector_type mlp2x_gelu \
     --pretrain_mm_mlp_adapter $PRETRAIN_ADAPTER_PATH \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-point-finetune-naive-mc \
     --num_train_epochs 1 \
     --per_device_train_batch_size 4 \

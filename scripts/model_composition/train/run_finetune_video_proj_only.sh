@@ -21,6 +21,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --pretrain_mm_mlp_adapter $PRETRAIN_ADAPTER_PATH \
     --group_by_modality_length True \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-video-finetune-proj-only \
     --num_train_epochs 1 \
     --per_device_train_batch_size 8 \

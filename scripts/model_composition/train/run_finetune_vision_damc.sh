@@ -22,6 +22,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --image_aspect_ratio pad \
     --group_by_modality_length False \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-vision-finetune-damc \
     --num_train_epochs 1 \
     --per_device_train_batch_size 4 \

@@ -19,6 +19,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_projector_type mlp2x_gelu \
     --image_aspect_ratio pad \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-vision-finetune-proj-only \
     --num_train_epochs 1 \
     --per_device_train_batch_size 4 \

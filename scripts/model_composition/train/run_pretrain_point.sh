@@ -15,6 +15,7 @@ python -m modelcompose_tpu.train.train_multimodal \
     --mm_point_projector_type mlp2x_gelu \
     --tune_mm_mlp_adapter True \
     --bf16 True \
+    --gradient_checkpointing True \
     --output_dir ./checkpoints/modelcompose-point-pretrain \
     --num_train_epochs 1 \
     --per_device_train_batch_size 16 \
