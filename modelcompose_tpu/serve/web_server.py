@@ -24,6 +24,9 @@ PAGE = """<!doctype html>
 <form method=post action=/chat>
   Model: <select name=model>{options}</select><br>
   Message: <input type=text name=message size=90><br>
+  Temperature: <input type=number name=temperature value=0.2 step=0.1
+                      min=0 max=2>
+  Top-p: <input type=number name=top_p value=0.7 step=0.05 min=0 max=1><br>
   <input type=submit value=Send>
 </form>
 <pre>{answer}</pre>
@@ -56,8 +59,18 @@ class WebServer:
         conv.append_message(conv.roles[1], None)
         stop = conv.sep if conv.sep_style != SeparatorStyle.TWO \
             else conv.sep2
+        # temperature/top_p exposed like the reference UI (default
+        # top_p 0.7, reference: serve/gradio_web_server.py:339-340)
+        def _num(name, default, lo, hi):
+            try:
+                return min(hi, max(lo, float(data.get(name, default))))
+            except (TypeError, ValueError):
+                return default
+
         payload = {"model": model, "prompt": conv.get_prompt(),
-                   "temperature": 0.2, "max_new_tokens": 256, "stop": stop}
+                   "temperature": _num("temperature", 0.2, 0.0, 2.0),
+                   "top_p": _num("top_p", 0.7, 0.0, 1.0),
+                   "max_new_tokens": 256, "stop": stop}
         answer = ""
         async with ClientSession() as session:
             async with session.post(
