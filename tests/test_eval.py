@@ -162,3 +162,50 @@ def test_loader_overlays_adapter_weights(fake_checkpoint, monkeypatch):
     got = np.asarray(model.params["layers"]["attn"]["q"]["lora_a"][0, 0])
     want = adapter["model.layers.0.self_attn.q_proj.lora_A.default.weight"].T
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_qa_loader_beam_search_cli(fake_checkpoint, tmp_path, monkeypatch):
+    """--num-beams plumbing: the loader runs beam decode end-to-end and
+    writes the same jsonl schema (beam math parity is pinned in
+    tests/test_beam_golden.py)."""
+    import json as _json
+
+    from PIL import Image
+
+    import modelcompose_tpu.models.loader as loader_mod
+    ckpt_dir, base_dir = fake_checkpoint
+    monkeypatch.setattr(loader_mod, "load_tokenizer",
+                        lambda mb: TinyTokenizer())
+    tokenizer, model, processors, _ = \
+        loader_mod.load_pretrained_model(ckpt_dir, base_dir)
+
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+    qfile = tmp_path / "q.json"
+    qfile.write_text(_json.dumps([{"id": 7, "conversations": [
+        {"from": "human", "value": "<image>\nWhat?"},
+        {"from": "gpt", "value": "A"}],
+        "modal_inputs": {"vision": [str(img_path)]}}]))
+
+    from modelcompose_tpu.eval.model_multimodal_qa_loader import eval_model
+
+    class Args:
+        model_path = ckpt_dir
+        model_base = base_dir
+        question_file = str(qfile)
+        answers_file = str(tmp_path / "ans_beam.jsonl")
+        conv_mode = "vicuna_v1"
+        num_chunks = 1
+        chunk_idx = 0
+        temperature = 0.0
+        batch_size = 4  # must be forced to 1 by the beam path
+        max_new_tokens = 4
+        num_beams = 2
+
+    monkeypatch.setattr(
+        "modelcompose_tpu.eval.model_multimodal_qa_loader."
+        "load_pretrained_model",
+        lambda mp, mb, mn: (TinyTokenizer(), model, processors, 2048))
+    eval_model(Args)
+    lines = [_json.loads(l) for l in open(Args.answers_file)]
+    assert len(lines) == 1 and lines[0]["question_id"] == 7
