@@ -195,11 +195,18 @@ def beam_generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
                 drawn = np.asarray(_draw_override[step_i])
             else:
                 rng, sub = jax.random.split(rng)
-                # Gumbel top-k == categorical sampling w/o replacement
+                # Gumbel top-k == categorical sampling w/o replacement.
+                # When the combined nucleus holds fewer than 2*num_beams
+                # finite entries (sharp temperature + tight top_p), draw
+                # only the finite ones — 4.31's torch.multinomial would
+                # RAISE here; shrinking the candidate list (the fill loop
+                # pads below) is the graceful equivalent.
                 z = flat + np.asarray(jax.random.gumbel(
                     sub, (flat.shape[0],), jnp.float32), np.float64)
                 z[~np.isfinite(flat)] = -np.inf
-                drawn = np.argsort(-z, kind="stable")[: 2 * num_beams]
+                n_finite = int(np.isfinite(flat).sum())
+                drawn = np.argsort(-z, kind="stable")[
+                    : min(2 * num_beams, max(n_finite, 1))]
             order = np.argsort(-flat[drawn], kind="stable")
             top = drawn[order]
         else:
@@ -214,7 +221,7 @@ def beam_generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
         next_tokens = np.empty(num_beams, np.int64)
         next_beams = np.empty(num_beams, np.int64)
         filled = 0
-        for rank in range(2 * num_beams):
+        for rank in range(len(top)):
             tok, sc, src = (int(cand_tokens[rank]), float(cand_scores[rank]),
                             int(cand_beams[rank]))
             if eos is not None and tok == eos:
@@ -228,6 +235,15 @@ def beam_generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
                 filled += 1
             if filled == num_beams:
                 break
+        if filled == 0:  # everything drawn was EOS: all beams finalized
+            done = True
+        while 0 < filled < num_beams:
+            # shrunken sampled draw (tight nucleus): replicate the best
+            # running candidate so the beam count stays static-shaped
+            next_scores[filled] = next_scores[0]
+            next_tokens[filled] = next_tokens[0]
+            next_beams[filled] = next_beams[0]
+            filled += 1
         done = done or hyps.is_done(float(cand_scores.max()), cur_len)
         if done:
             break

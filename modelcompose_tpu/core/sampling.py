@@ -12,8 +12,8 @@ Semantics match HF's processor stack exactly:
   tokens with cumulative mass <= 1 - top_p, always keeping at least one),
   then categorical sampling;
 - rows with temperature <= 1e-4 decode greedily (argmax of the raw
-  logits), matching the host-side ``sample_token`` threshold and the
-  reference's ``do_sample = temperature > 0.001`` gate.
+  logits), matching the reference's ``do_sample = temperature > 0.001``
+  gate.
 """
 
 from __future__ import annotations
@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 
 GREEDY_TEMP = 1e-4
+
+
+def entropy_seed() -> int:
+    """OS-entropy seed for PRNGKey when the caller supplies none — a
+    fixed default key would make every worker replay identical "random"
+    streams across restarts/replicas."""
+    import os
+
+    return int.from_bytes(os.urandom(4), "little")
 
 
 def top_p_filter(scaled_logits: jax.Array, top_p: jax.Array) -> jax.Array:

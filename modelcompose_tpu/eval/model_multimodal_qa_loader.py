@@ -61,6 +61,7 @@ def eval_model(args):
         for start in range(0, len(dataset), B):
             batch = collator([dataset[i] for i in
                               range(start, min(start + B, len(dataset)))])
+            rng, sub = jax.random.split(rng)  # fresh stream per batch
             outputs = model.generate(
                 batch["input_ids"], batch.get("modal_inputs", {}),
                 max_new_tokens=args.max_new_tokens,
@@ -68,7 +69,7 @@ def eval_model(args):
                 num_beams=getattr(args, "num_beams", 1),
                 top_p=getattr(args, "top_p", 1.0),
                 compact_adapters=getattr(args, "compact_adapters", False),
-                rng=rng if args.temperature > 0 else None)
+                rng=sub if args.temperature > 0 else None)
             for j, token_ids in enumerate(outputs):
                 text = tokenizer.decode(token_ids,
                                         skip_special_tokens=True).strip()

@@ -236,10 +236,9 @@ class MultimodalLM:
             False)
         kv_lens = lengths
         eos = self.cfg.eos_token_id
-        import os as _os
+        from ..core.sampling import entropy_seed
         key = jax.random.PRNGKey(
-            rng_seed if rng_seed is not None
-            else int.from_bytes(_os.urandom(4), "little"))
+            rng_seed if rng_seed is not None else entropy_seed())
         temps = jnp.asarray(list(temperatures), jnp.float32)
         tps = jnp.asarray([1.0] * B if top_ps is None else list(top_ps),
                           jnp.float32)

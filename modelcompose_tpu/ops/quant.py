@@ -65,6 +65,20 @@ def quantize_backbone(params: Dict[str, Any],
     return out
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("ax",))
+def _amax_lowmem(x, ax):
+    return jnp.max(jnp.abs(x).astype(jnp.float32), axis=ax, keepdims=True)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _q_lowmem(x, s):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                    -127, 127).astype(jnp.int8)
+
+
 def quantize_leaf_lowmem(w, axis: int = -2):
     """Two-phase donated int8 quantize of ONE weight leaf, numerically
     identical to ``quantize_int8``.  The scale reduce and the int8 write
@@ -72,18 +86,7 @@ def quantize_leaf_lowmem(w, axis: int = -2):
     and fuses — the one-jit form lets XLA materialize a full fp32 copy of
     the leaf (5.8 GB for a stacked 7B MLP weight), which OOMs a 16 GB
     chip next to a resident model tree.  The input leaf is DONATED: drop
-    every other reference before calling."""
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("ax",))
-    def _amax(x, ax):
-        return jnp.max(jnp.abs(x).astype(jnp.float32), axis=ax,
-                       keepdims=True)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def _q(x, s):
-        return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
-                        -127, 127).astype(jnp.int8)
-
-    scale = jnp.maximum(_amax(w, axis) / 127.0, 1e-8)
-    return {"q": _q(w, scale), "scale": scale.astype(jnp.float32)}
+    every other reference before calling.  (Helpers are module-level so
+    same-shape leaves share the compile cache.)"""
+    scale = jnp.maximum(_amax_lowmem(w, axis) / 127.0, 1e-8)
+    return {"q": _q_lowmem(w, scale), "scale": scale.astype(jnp.float32)}

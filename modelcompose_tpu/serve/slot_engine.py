@@ -185,10 +185,9 @@ class ContinuousBatchingEngine:
         self.eos = model.cfg.eos_token_id
         self._queue: "queue.Queue" = queue.Queue()
         self._slots: Dict[int, Dict[str, Any]] = {}
-        import os as _os
+        from ..core.sampling import entropy_seed
         self._key = jax.random.PRNGKey(
-            rng_seed if rng_seed is not None
-            else int.from_bytes(_os.urandom(4), "little"))
+            rng_seed if rng_seed is not None else entropy_seed())
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 

@@ -386,9 +386,8 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             total = micro_grads[0]
             for g in micro_grads[1:]:
                 total = accumulate(total, g, 1.0)
-            total = _jax.tree.map(
-                lambda x: x if getattr(x, "dtype", None) ==
-                _jax.dtypes.float0 else x / accum, total)
+            from .trainer import scale_grads
+            total = scale_grads(total, 1.0 / accum)
             micro_grads.clear()
             return apply_fn(state, total), loss
     else:
@@ -487,8 +486,14 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             save_adapter_checkpoint(args.output_dir, cfg, backbone,
                                     projectors)
     losses = [float(l) for l in losses]  # lazy device scalars -> host
+    # the conversion above SYNCS to the last step's completion, so this
+    # wall covers exactly the training loop (data pipeline + steps), not
+    # the model build/quantize/optimizer setup — the number the pipeline
+    # bench needs for the device-idle fraction
+    train_loop_seconds = time.time() - t0
     return {"final_loss": losses[-1] if losses else None,
-            "steps": step_idx, "losses": losses}
+            "steps": step_idx, "losses": losses,
+            "train_loop_seconds": train_loop_seconds}
 
 
 def main():

@@ -434,6 +434,18 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, tx,
     return train_step
 
 
+def _is_float0(x):
+    return getattr(x, "dtype", None) == jax.dtypes.float0
+
+
+@jax.jit
+def scale_grads(grads, c):
+    """Elementwise grads * c, passing float0 (frozen-int) leaves through
+    — the gradient-accumulation averaging step, jitted so it is one
+    dispatch instead of one per leaf."""
+    return jax.tree.map(lambda g: g if _is_float0(g) else g * c, grads)
+
+
 def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
                         attn_impl: str = "auto", vision_tower_cfg=None):
     """Gradient accumulation (reference recipe:
@@ -469,12 +481,9 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         return TrainState(params=new_params, opt_state=new_opt,
                           step=state.step + 1)
 
-    def _is_f0(x):
-        return getattr(x, "dtype", None) == jax.dtypes.float0
-
     @jax.jit
     def accumulate(acc, grads, weight):
         return jax.tree.map(
-            lambda a, g: a if _is_f0(a) else a + g * weight, acc, grads)
+            lambda a, g: a if _is_float0(a) else a + g * weight, acc, grads)
 
     return grad_fn, apply_fn, accumulate

@@ -182,10 +182,17 @@ def test_qa_loader_beam_search_cli(fake_checkpoint, tmp_path, monkeypatch):
     img_path = tmp_path / "img.png"
     Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
     qfile = tmp_path / "q.json"
-    qfile.write_text(_json.dumps([{"id": 7, "conversations": [
-        {"from": "human", "value": "<image>\nWhat?"},
-        {"from": "gpt", "value": "A"}],
-        "modal_inputs": {"vision": [str(img_path)]}}]))
+    # TWO questions: batch_size=4 must be forced to 1 by the beam path or
+    # beam_generate's batch-1 assertion fires
+    qfile.write_text(_json.dumps([
+        {"id": 7, "conversations": [
+            {"from": "human", "value": "<image>\nWhat?"},
+            {"from": "gpt", "value": "A"}],
+         "modal_inputs": {"vision": [str(img_path)]}},
+        {"id": 8, "conversations": [
+            {"from": "human", "value": "<image>\nWhich?"},
+            {"from": "gpt", "value": "B"}],
+         "modal_inputs": {"vision": [str(img_path)]}}]))
 
     from modelcompose_tpu.eval.model_multimodal_qa_loader import eval_model
 
@@ -208,4 +215,5 @@ def test_qa_loader_beam_search_cli(fake_checkpoint, tmp_path, monkeypatch):
         lambda mp, mb, mn: (TinyTokenizer(), model, processors, 2048))
     eval_model(Args)
     lines = [_json.loads(l) for l in open(Args.answers_file)]
-    assert len(lines) == 1 and lines[0]["question_id"] == 7
+    assert len(lines) == 2
+    assert [l["question_id"] for l in lines] == [7, 8]
