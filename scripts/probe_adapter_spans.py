@@ -36,7 +36,7 @@ H = 4096
 I = 11008
 R = 128
 A = 8
-STEPS = 8
+STEPS = 256  # amortize the ~27 MB D2H relay fetch far below compute
 
 # MCUB-4 span layout (packed positions): text spans route nothing after
 # fold_dense; each modal span hits exactly one adapter row.
@@ -75,7 +75,7 @@ def bench(fn, args, steps=STEPS):
     def loop(x, *rest):
         def body(c, _):
             y = fn(c, *rest)
-            return c + y * 1e-6, None
+            return c + y[:, : c.shape[1]] * 1e-6, None
         out, _ = jax.lax.scan(body, x, None, length=steps)
         return out
 
