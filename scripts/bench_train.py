@@ -151,8 +151,11 @@ def run_variant(name, cfg, B, L, *, int8_base, mu_dtype, stage1,
     fwd_matmul = train_matmul_flops_per_token(cfg, n_adapters) * B * L
     fwd_attn = cfg.num_hidden_layers * 2 * L * L * cfg.hidden_size * B
     fwd = fwd_matmul + fwd_attn
-    model_flops = 3 * fwd          # fwd + bwd(2x); remat recompute excluded
-    hw_flops = 4 * fwd             # incl. the remat forward recompute
+    # stage-1 (projector-only) computes no weight grads: bwd is the
+    # dx chain only (~1x fwd), so model work is 2x fwd, not 3x
+    bwd_mult = 2 if stage1 else 3
+    model_flops = bwd_mult * fwd   # remat recompute excluded
+    hw_flops = (bwd_mult + 1) * fwd  # incl. the remat forward recompute
     result = {
         "variant": name, "batch": B, "seq": L,
         "step_ms": round(dt * 1e3, 1),
