@@ -23,6 +23,19 @@ import numpy as np
 REFERENCE_GPU_TOKS_PER_SEC = 30.0  # single-stream HF A100 estimate
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (verified working through the axon
+    relay, round 4): repeated bench/driver runs skip the 10-30 min
+    remote recompiles of unchanged 7B programs."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+
 def kernel_smoke():
     """On-TPU compiled Pallas flash-attention check (fwd + bwd vs XLA at
     bf16) so compiled-kernel regressions surface in BENCH_r*.json runs;
@@ -216,6 +229,7 @@ def train_step_bench():
 
 
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

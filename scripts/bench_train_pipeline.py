@@ -111,7 +111,20 @@ def run_train(tmp, data_path, base_dir, max_steps, outdir):
     return time.perf_counter() - t0, result
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (verified working through the axon
+    relay, round 4): repeated bench/driver runs skip the 10-30 min
+    remote recompiles of unchanged 7B programs."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     import jax
     if jax.default_backend() != "tpu" and not TINY:
         print(json.dumps({"error": "not on tpu"}))
