@@ -432,6 +432,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     start_step = int(state.step)
     losses = []
     t0 = time.time()
+    # steady-state window for throughput measurement: sync once after
+    # MC_LOOP_TIME_SKIP steps (first iterations carry jit tracing /
+    # compile-cache loads) and time the remainder
+    skip = int(os.environ.get("MC_LOOP_TIME_SKIP", "0") or 0)
+    t_steady = None
     step_idx = start_step
     bs = batch_sharding(mesh)
     while step_idx < total_steps:
@@ -462,6 +467,9 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             # every step's completion and stall the prefetch pipeline —
             # conversion happens lazily at logging/exit
             losses.append(loss)
+            if skip and step_idx == start_step + skip:
+                float(loss)  # hard sync: compiles/tracing end here
+                t_steady = time.time()
             if step_idx % args.logging_steps == 0:
                 avg = np.mean([float(l) for l in
                                losses[-args.logging_steps:]])
@@ -491,9 +499,13 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     # the model build/quantize/optimizer setup — the number the pipeline
     # bench needs for the device-idle fraction
     train_loop_seconds = time.time() - t0
-    return {"final_loss": losses[-1] if losses else None,
-            "steps": step_idx, "losses": losses,
-            "train_loop_seconds": train_loop_seconds}
+    result = {"final_loss": losses[-1] if losses else None,
+              "steps": step_idx, "losses": losses,
+              "train_loop_seconds": train_loop_seconds}
+    if t_steady is not None and step_idx > start_step + skip:
+        result["steady_seconds"] = time.time() - t_steady
+        result["steady_steps"] = step_idx - start_step - skip
+    return result
 
 
 def main():

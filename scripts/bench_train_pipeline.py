@@ -132,15 +132,12 @@ def main():
     tmp = tempfile.mkdtemp(prefix="mc_pipe_")
     data_path, base_dir = make_dataset(tmp)
 
-    # compile pass (2 steps; jit cache stays warm in-process)
-    run_train(tmp, data_path, base_dir, 2, "out_warm")
-    gc.collect()
-    # timed pass: train() reports the LOOP wall (synced by the lazy loss
-    # conversion at exit) — the whole-call wall would count the model
-    # re-build/quantize execution through the relay as 'idle'
-    _, result = run_train(tmp, data_path, base_dir, TIMED_STEPS,
+    # one pass: the first MC_LOOP_TIME_SKIP steps absorb jit tracing and
+    # compile-cache loads, then train() times the steady-state window
+    os.environ["MC_LOOP_TIME_SKIP"] = "4"
+    _, result = run_train(tmp, data_path, base_dir, TIMED_STEPS + 4,
                           "out_timed")
-    wall = result["train_loop_seconds"]
+    wall = result["steady_seconds"]
     # per-sample packed length: 586-token image span + prompt text
     # (bucket 1024); count bucket tokens to match the step bench
     sample_bucket = 1024
