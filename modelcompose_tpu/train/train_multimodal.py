@@ -450,18 +450,32 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         loader = PrefetchLoader(dataset, order, B, collator,
                                 num_workers=args.dataloader_num_workers,
                                 prefetch=4)
+        trace_loop = os.environ.get("MC_TRAIN_LOOP_TRACE")
+        t_mark = time.perf_counter()
         for collated in loader:
             if step_idx >= total_steps:
                 break
+            t_a = time.perf_counter()
             batch, layout = make_batch(model, collated,
                                        tower_train=tower_train)
+            t_b = time.perf_counter()
             with mesh:
                 batch = {k: (jax.device_put(v, bs)
                              if k not in ("encoder_features",
                                           "tower_pixels") else
                              shard_encoder_features(v, mesh))
                          for k, v in batch.items()}
+                t_c = time.perf_counter()
                 state, loss = step_fn(state, batch, layout)
+            if trace_loop:
+                t_d = time.perf_counter()
+                print(f"[loop-trace] step {step_idx}: loader_wait "
+                      f"{t_a - t_mark:.3f}s make_batch {t_b - t_a:.3f}s "
+                      f"device_put {t_c - t_b:.3f}s dispatch "
+                      f"{t_d - t_c:.3f}s", flush=True)
+                t_mark = t_d
+            else:
+                t_mark = time.perf_counter()
             step_idx += 1
             # keep the DEVICE scalar: float() here would sync the host to
             # every step's completion and stall the prefetch pipeline —
