@@ -28,6 +28,7 @@ Usage (DAMC stage 2, vision):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import time
@@ -342,7 +343,14 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         print(f"[train] WARNING: global batch {B} does not divide "
               f"{n_dev} devices; using a {mesh.devices.size}-device data "
               f"mesh ({n_dev - mesh.devices.size} devices idle)")
-    params = shard_params(model.params, mesh)
+    # Single device: skip the mesh/NamedSharding machinery entirely — the
+    # GSPMD execute path measured 5.1x SLOWER than the plain jit for the
+    # identical 7B step on this chip (3,336 vs 652 ms,
+    # scripts/probe_program_switch.py MC_PROBE_MESH=1); a 1-device mesh
+    # buys nothing and the overhead dominates the whole loop.
+    single_device = mesh.devices.size == 1
+    params = model.params if single_device \
+        else shard_params(model.params, mesh)
     tower_train = (tc.mm_vision_tower_lr is not None
                    and "vision" in model.encoders)
     if tower_train:
@@ -363,7 +371,8 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         np.asarray(jax.tree.leaves(params)[0])
         print("[train] debug-sync: shard_params done", flush=True)
     state = init_train_state(cfg, tc, params, model.projectors,
-                             tower_params=tower_params, mesh=mesh)
+                             tower_params=tower_params,
+                             mesh=None if single_device else mesh)
     if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
         np.asarray(state.step)
         print("[train] debug-sync: opt init done", flush=True)
@@ -438,7 +447,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     skip = int(os.environ.get("MC_LOOP_TIME_SKIP", "0") or 0)
     t_steady = None
     step_idx = start_step
-    bs = batch_sharding(mesh)
+    bs = None if single_device else batch_sharding(mesh)
     while step_idx < total_steps:
         if args.group_by_modality_length:
             order = get_modality_length_grouped_indices(
@@ -459,12 +468,13 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             batch, layout = make_batch(model, collated,
                                        tower_train=tower_train)
             t_b = time.perf_counter()
-            with mesh:
-                batch = {k: (jax.device_put(v, bs)
-                             if k not in ("encoder_features",
-                                          "tower_pixels") else
-                             shard_encoder_features(v, mesh))
-                         for k, v in batch.items()}
+            with (contextlib.nullcontext() if single_device else mesh):
+                if not single_device:
+                    batch = {k: (jax.device_put(v, bs)
+                                 if k not in ("encoder_features",
+                                              "tower_pixels") else
+                                 shard_encoder_features(v, mesh))
+                             for k, v in batch.items()}
                 t_c = time.perf_counter()
                 state, loss = step_fn(state, batch, layout)
             if trace_loop:
