@@ -73,6 +73,16 @@ def main():
     encoders = build_modal_encoders(cfg, jax.random.PRNGKey(2))
     pixels = jnp.zeros((B, 336, 336, 3), jnp.float32)
 
+    # MC_PROBE_BALLAST_GB: occupy extra HBM to test whether near-full
+    # memory (the train entry sits at ~15.3/15.75 GB with the CLIP tower
+    # + grads resident) degrades step execution
+    ballast_gb = float(os.environ.get("MC_PROBE_BALLAST_GB", "0") or 0)
+    ballast = None
+    if ballast_gb:
+        n = int(ballast_gb * (1 << 30) // 2)
+        ballast = jnp.zeros((n,), jnp.bfloat16)
+        np.asarray(ballast[:1])
+
     # warm both executables
     state, loss = step(state, batch, layout)
     np.asarray(loss)
