@@ -74,7 +74,10 @@ def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
 
     Causal masking with the query offset exposes exactly the initialized
     cache prefix, so no segment ids are needed for a single right-padded
-    sample; requires an unquantized KV cache."""
+    sample.  The returned cache is always bf16 (per-chunk attention reads
+    it back at full precision); a caller with an int8 pooled cache
+    quantizes at splice time (serve/slot_engine._splice_slot), which is
+    bit-identical to ``_prefill``'s write-time quantization."""
     from .llama import logits_from_hidden
 
     B, L, _ = inputs_embeds.shape
@@ -107,15 +110,21 @@ def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "max_steps", "temperature",
-                                    "top_p"),
+                   static_argnames=("cfg", "max_steps", "do_sample",
+                                    "use_top_p"),
                    donate_argnums=(2,))
 def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
                  routing_table, rng, max_steps: int, eos_id,
-                 temperature: float, top_p: float = 1.0):
+                 do_sample: bool = False, temperature=1.0, top_p=1.0,
+                 use_top_p: bool = False):
     """Device-side greedy/sampled decode: the whole token loop runs inside
     one compiled program (lax.scan over steps), so no host round-trip per
     token — the TPU-native replacement for HF generate's python loop.
+
+    ``temperature``/``top_p`` are TRACED scalar operands (per-value
+    recompiles would be a foot-gun for per-request sampling params); only
+    the structural switches — sample-vs-greedy and whether the top-p sort
+    exists in the program at all — are static.
 
     Returns ([B, max_steps] token ids, final cache).  The cache is both
     donated AND returned so XLA can alias the input buffer to the output
@@ -126,12 +135,12 @@ def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
     eos = jnp.asarray(eos_id, jnp.int32)
 
     def pick(logits, key):
-        if temperature and temperature > 0.0:
+        if do_sample:
             scaled = logits / temperature
-            if top_p is not None and top_p < 1.0:
+            if use_top_p:
                 from .sampling import top_p_filter
                 scaled = top_p_filter(scaled.astype(jnp.float32),
-                                      jnp.float32(top_p))
+                                      top_p.astype(jnp.float32))
             return jax.random.categorical(
                 key, scaled, axis=-1).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -235,10 +244,13 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
             from ..ops.routed_lora import fold_decode_adapters
             decode_params, decode_table = fold_decode_adapters(
                 params, np.asarray(routing_table)[0])
-        tokens, _ = _decode_loop(decode_params, cfg, cache, logits, lengths,
-                                 decode_table, rng, max_new_tokens,
-                                 -1 if eos is None else int(eos),
-                                 float(temperature), float(top_p))
+        do_sample = bool(temperature and temperature > 0.0)
+        use_top_p = bool(do_sample and top_p is not None and top_p < 1.0)
+        tokens, _ = _decode_loop(
+            decode_params, cfg, cache, logits, lengths, decode_table, rng,
+            max_new_tokens, -1 if eos is None else int(eos), do_sample,
+            jnp.float32(temperature or 1.0),
+            jnp.float32(1.0 if top_p is None else top_p), use_top_p)
         host = np.asarray(tokens)
         outputs = []
         for b in range(B):

@@ -97,7 +97,8 @@ class ModelWorker:
                  model_name=None, limit_concurrency: int = 5,
                  no_register: bool = False, loader=None,
                  continuous_batching: bool = False,
-                 slot_cache_len: int = 1024, prefill_chunk=None):
+                 slot_cache_len: int = 1024, prefill_chunk=None,
+                 slot_kv_quant: bool = False):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = uuid.uuid4().hex[:6]
@@ -119,7 +120,7 @@ class ModelWorker:
             self.engine = ContinuousBatchingEngine(
                 self.model, self._prepare_request,
                 max_slots=limit_concurrency, cache_len=slot_cache_len,
-                prefill_chunk=prefill_chunk)
+                prefill_chunk=prefill_chunk, kv_quant=slot_kv_quant)
         else:
             self.engine = BatchingEngine(self._stream_batch,
                                          max_batch=limit_concurrency)
@@ -364,6 +365,10 @@ def main():
                         help="chunked admission prefill: decode ticks for "
                              "in-flight requests interleave between "
                              "N-token prefill pieces")
+    parser.add_argument("--slot-kv-quant", action="store_true",
+                        help="int8-quantized pooled KV cache for the slot "
+                             "engine (half the cache bytes; composes with "
+                             "--prefill-chunk)")
     args = parser.parse_args()
     loader = None
     if args.load_8bit or args.fold_decode or args.tp > 1:
@@ -380,7 +385,8 @@ def main():
                          loader=loader,
                          continuous_batching=args.continuous_batching,
                          slot_cache_len=args.slot_cache_len,
-                         prefill_chunk=args.prefill_chunk)
+                         prefill_chunk=args.prefill_chunk,
+                         slot_kv_quant=args.slot_kv_quant)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

@@ -39,13 +39,31 @@ import numpy as np
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _splice_slot(big, small, slot):
     """Write a batch-1 cache/array into row ``slot`` of the pooled buffer
-    (donated: the update is in place, no pooled-cache copy)."""
+    (donated: the update is in place, no pooled-cache copy).
+
+    When the pool is int8-quantized but the incoming cache is bf16 (a
+    chunked admission prefill builds an unquantized batch-1 cache so its
+    per-chunk attention reads stay full-precision — the same semantics as
+    one-shot ``_prefill``, which attends over raw bf16 k/v and only
+    quantizes at cache write), the splice quantizes here.  ``quantize_kv``
+    is deterministic per token-head vector on the identical bf16 values
+    the one-shot path quantizes, so the pooled int8 rows are bit-identical
+    either way (tests/test_slot_engine.py pins token parity)."""
     def put(b, s):
         start = (0,) * b.ndim
         start = (start[0], slot) + start[2:]
         return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), start)
 
-    return jax.tree.map(put, big, small)
+    def splice(b, s):
+        if isinstance(b, dict) and not isinstance(s, dict):
+            from ..core.llama import quantize_kv
+            s = quantize_kv(s)
+        if isinstance(b, dict):
+            return {part: put(b[part], s[part]) for part in b}
+        return put(b, s)
+
+    return jax.tree.map(splice, big, small,
+                        is_leaf=lambda x: isinstance(x, dict))
 
 
 class SlotDecoder:
@@ -61,18 +79,18 @@ class SlotDecoder:
         self.cache_len = cache_len
         self.kv_quant = kv_quant
         # chunked admission prefill: decode ticks interleave between
-        # chunks instead of stalling for the whole prompt (needs an
-        # unquantized cache; core/generate.prefill_chunked)
-        if prefill_chunk and kv_quant:
-            raise ValueError(
-                "prefill_chunk requires an unquantized KV cache "
-                "(kv_quant=False)")
+        # chunks instead of stalling for the whole prompt
+        # (core/generate.prefill_chunked).  Composes with an int8 pooled
+        # cache: the chunked prefill builds a bf16 batch-1 cache and
+        # ``_splice_slot`` quantizes at splice time (bit-identical rows
+        # to the one-shot write-time quantization).
         self.prefill_chunk = prefill_chunk
         self.cache = KVCache.zeros(self.cfg, max_slots, cache_len,
                                    quantized=kv_quant)
         V = self.cfg.vocab_size
         self.logits = jnp.zeros((max_slots, V), jnp.float32)
         self.kv_lens = np.ones(max_slots, np.int64)  # host-owned
+        self.active = np.zeros(max_slots, bool)  # host-owned
         self.table = jnp.asarray(np.asarray(model.routing_table))
         self.decode_table = model.decode_routing_table()
 
@@ -131,12 +149,15 @@ class SlotDecoder:
         self.cache = _splice_slot(self.cache, cache1, slot)
         self.logits = self.logits.at[slot].set(logits1[0])
         self.kv_lens[slot] = L
+        self.active[slot] = True
         return L
 
     def step(self, tokens: np.ndarray) -> None:
         """Advance every slot one token.  ``tokens``: [max_slots] int32,
         sampled host-side (idle slots feed a dummy token — their cache row
-        is fully rewritten at the next admission)."""
+        is fully rewritten at the next admission).  Only ACTIVE rows
+        advance their kv_len: an idle row stays pinned at 1 however long
+        it idles, so its RoPE position / attention span never grows."""
         from ..core.generate import _decode_step
 
         logits, cache, _ = _decode_step(
@@ -144,7 +165,7 @@ class SlotDecoder:
             jnp.asarray(tokens, jnp.int32),
             jnp.asarray(self.kv_lens, jnp.int32), self.decode_table)
         self.logits, self.cache = logits, cache
-        self.kv_lens += 1
+        self.kv_lens = np.where(self.active, self.kv_lens + 1, 1)
 
     def host_logits(self) -> np.ndarray:
         return np.asarray(self.logits, np.float32)
@@ -162,11 +183,12 @@ class SlotDecoder:
             jnp.asarray(top_ps, jnp.float32)))
 
     def release(self, slot: int) -> None:
-        """Pin a released slot's kv_len back to 1 so its RoPE position and
-        decode attention span stay bounded while idle (``step`` advances
-        every row; without the reset an idle row's position grows until
-        the next admission and correctness leans on implicit clamping)."""
+        """Mark the slot idle and pin its kv_len back to 1; ``step`` keeps
+        idle rows pinned (active-mask gating), so a long-idle slot's RoPE
+        position and attention span stay bounded for arbitrarily long idle
+        periods."""
         self.kv_lens[slot] = 1
+        self.active[slot] = False
 
 
 class ContinuousBatchingEngine:

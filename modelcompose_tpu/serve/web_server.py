@@ -69,7 +69,10 @@ class WebServer:
 
         payload = {"model": model, "prompt": conv.get_prompt(),
                    "temperature": _num("temperature", 0.2, 0.0, 2.0),
-                   "top_p": _num("top_p", 0.7, 0.0, 1.0),
+                   # HF's TopPLogitsWarper rejects top_p=0; clamp the
+                   # lower bound so a typed 0 doesn't silently degrade to
+                   # argmax-only sampling
+                   "top_p": _num("top_p", 0.7, 0.01, 1.0),
                    "max_new_tokens": 256, "stop": stop}
         answer = ""
         async with ClientSession() as session:
