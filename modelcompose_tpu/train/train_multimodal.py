@@ -384,20 +384,25 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             cfg, tc, tx,
             vision_tower_cfg=model.encoders["vision"].cfg
             if tower_train else None)
-        micro_grads = []
+        # RUNNING accumulation: keep one grad-tree total (donated in
+        # place each micro-step), never the per-micro-batch list — N
+        # resident grad trees would be N x 1.35 GB at 7B r=128 and OOM
+        # the chip at the reference's accum=16 long before the step runs.
+        acc_state = {"total": None, "n": 0}
 
         def step_fn(state, batch, layout):
             loss, grads = grad_fn(state.params, batch, layout)
-            micro_grads.append(grads)
-            if len(micro_grads) < accum:
+            if acc_state["total"] is None:
+                acc_state["total"] = grads
+            else:
+                acc_state["total"] = accumulate(acc_state["total"], grads,
+                                                1.0)
+            acc_state["n"] += 1
+            if acc_state["n"] < accum:
                 return state, loss  # state unchanged mid-accumulation
-            import jax as _jax
-            total = micro_grads[0]
-            for g in micro_grads[1:]:
-                total = accumulate(total, g, 1.0)
             from .trainer import scale_grads
-            total = scale_grads(total, 1.0 / accum)
-            micro_grads.clear()
+            total = scale_grads(acc_state["total"], 1.0 / accum)
+            acc_state["total"], acc_state["n"] = None, 0
             return apply_fn(state, total), loss
     else:
         step_fn = make_train_step(

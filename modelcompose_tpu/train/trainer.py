@@ -481,8 +481,11 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         return TrainState(params=new_params, opt_state=new_opt,
                           step=state.step + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def accumulate(acc, grads, weight):
+        """acc is DONATED: the running total updates in place, so peak
+        grad memory is 2 trees (total + current micro-batch) regardless
+        of the accumulation depth."""
         return jax.tree.map(
             lambda a, g: a if _is_float0(a) else a + g * weight, acc, grads)
 

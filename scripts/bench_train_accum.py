@@ -1,0 +1,195 @@
+"""Effective-batch training bench (round-4 VERDICT weak #3).
+
+The reference trains at global batch 128 (bs 16 x 8 GPUs,
+run_finetune_vision_damc.sh); on one chip the route there is gradient
+accumulation.  This measures the accumulation recipe's real throughput:
+
+- accum in {1, 4, 16} at the production point (stage-2 int8 base,
+  b2 x 2048), ALL through the make_grad_and_apply path the train entry
+  uses (running donated accumulation, peak = 2 grad trees at any depth);
+  accum=1 vs the fused make_train_step number (bench.py train_*) prices
+  the split grad/apply overhead itself;
+- a b8 x 2048 retry (round-4 compile failed on a transient relay 500;
+  the persistent compile cache changes the odds);
+- b4-anomaly probe: grad-only timing at b2/b4 to locate whether the
+  5% per-token regression (0.670 -> 0.633 MFU) lives in fwd+bwd or in
+  the optimizer/update half of the step.
+
+Appends rows to BENCH_TRAIN.jsonl.
+Run: nohup python scripts/bench_train_accum.py > /tmp/bench_accum.log &
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import bench_train  # noqa: E402
+
+
+def run_accum_variant(name, cfg, B, L, accum, steps=3):
+    """tokens/s over `steps` FULL optimizer steps (= steps*accum
+    micro-batches) through the train entry's accumulation path."""
+    import jax
+    import jax.numpy as jnp
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_grad_and_apply,
+                                                make_optimizer,
+                                                scale_grads)
+
+    from modelcompose_tpu.core.llama import init_params
+    from modelcompose_tpu.ops.quant import quantize_backbone
+    backbone = bench_train.zeros_like_shapes(
+        lambda: quantize_backbone(init_params(cfg, jax.random.PRNGKey(0)),
+                                  quantize_lm_head=True))
+    from modelcompose_tpu.models.projectors import init_projector
+    projectors = {"vision": bench_train.zeros_like_shapes(
+        lambda: init_projector("mlp2x_gelu", jax.random.PRNGKey(1),
+                               cfg.mm_hidden_size, cfg.hidden_size,
+                               dtype=jnp.bfloat16))}
+    tc = TrainConfig(learning_rate=2e-4, mm_projector_lr=2e-5,
+                     mm_language_lr=1e-5, warmup_ratio=0.03,
+                     total_steps=1000, adam_mu_dtype="bfloat16",
+                     loss_chunk=256)
+    state = init_train_state(cfg, tc, backbone, projectors)
+    tx, _ = make_optimizer(cfg, tc, state.params)
+    grad_fn, apply_fn, accumulate = make_grad_and_apply(cfg, tc, tx)
+    batch, layout = bench_train.make_batch(
+        cfg, B, L, 576 + cfg.local_prefix_tokens + cfg.local_suffix_tokens)
+
+    def opt_step(state):
+        total = None
+        loss = None
+        for _ in range(accum):
+            loss, grads = grad_fn(state.params, batch, layout)
+            total = grads if total is None else accumulate(total, grads, 1.0)
+        total = scale_grads(total, 1.0 / accum)
+        return apply_fn(state, total), loss
+
+    # warmup (compile grad_fn/accumulate/apply_fn)
+    state, loss = opt_step(state)
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = opt_step(state)
+    float(np.asarray(loss))  # D2H hard sync through the relay
+    dt = (time.perf_counter() - t0) / steps
+    toks = accum * B * L
+    res = {"variant": name, "batch": B, "seq": L, "accum": accum,
+           "effective_batch": accum * B,
+           "opt_step_ms": round(dt * 1e3, 1),
+           "tokens_per_sec": round(toks / dt, 1)}
+    del state, batch, backbone, projectors
+    gc.collect()
+    return res
+
+
+def run_gradonly_probe(name, cfg, B, L, steps=4):
+    """fwd+bwd only (no optimizer): locates the b4 anomaly."""
+    import jax
+    import jax.numpy as jnp
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                make_grad_and_apply,
+                                                make_optimizer,
+                                                init_train_state)
+
+    from modelcompose_tpu.core.llama import init_params
+    from modelcompose_tpu.ops.quant import quantize_backbone
+    backbone = bench_train.zeros_like_shapes(
+        lambda: quantize_backbone(init_params(cfg, jax.random.PRNGKey(0)),
+                                  quantize_lm_head=True))
+    from modelcompose_tpu.models.projectors import init_projector
+    projectors = {"vision": bench_train.zeros_like_shapes(
+        lambda: init_projector("mlp2x_gelu", jax.random.PRNGKey(1),
+                               cfg.mm_hidden_size, cfg.hidden_size,
+                               dtype=jnp.bfloat16))}
+    tc = TrainConfig(learning_rate=2e-4, warmup_ratio=0.03,
+                     total_steps=1000, adam_mu_dtype="bfloat16",
+                     loss_chunk=256)
+    state = init_train_state(cfg, tc, backbone, projectors)
+    tx, _ = make_optimizer(cfg, tc, state.params)
+    grad_fn, _, accumulate = make_grad_and_apply(cfg, tc, tx)
+    batch, layout = bench_train.make_batch(
+        cfg, B, L, 576 + cfg.local_prefix_tokens + cfg.local_suffix_tokens)
+
+    loss, grads = grad_fn(state.params, batch, layout)
+    np.asarray(loss)
+    # thread a data dependency through iterations (CSE trap): feed the
+    # accumulated grads back in as a no-op perturbation is not possible
+    # on the batch, but each grad_fn call is state-independent and jit
+    # caches on shapes — time a chain where the accumulator consumes
+    # every result so none can be elided.
+    total = grads
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss, grads = grad_fn(state.params, batch, layout)
+        total = accumulate(total, grads, 1.0)
+    float(np.asarray(loss))
+    np.asarray(jax.tree.leaves(total)[0])
+    dt = (time.perf_counter() - t0) / steps
+    res = {"variant": name, "batch": B, "seq": L,
+           "grad_ms": round(dt * 1e3, 1),
+           "grad_tokens_per_sec": round(B * L / dt, 1)}
+    del state, batch, backbone, projectors, total, grads
+    gc.collect()
+    return res
+
+
+def main():
+    bench_train._enable_compile_cache()
+    import jax
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"error": "not on tpu"}))
+        return
+    cfg = bench_train.stage2_cfg()
+    out = open(os.path.join(REPO, "BENCH_TRAIN.jsonl"), "a")
+
+    def emit(res):
+        print(json.dumps(res), flush=True)
+        out.write(json.dumps(res) + "\n")
+        out.flush()
+
+    todo = []
+    which = os.environ.get("MC_ACCUM_ONLY", "")
+    if which in ("", "accum"):
+        todo += [("accum", "stage2-int8-b2-accum1", dict(B=2, L=2048,
+                                                         accum=1)),
+                 ("accum", "stage2-int8-b2-accum4", dict(B=2, L=2048,
+                                                         accum=4)),
+                 ("accum", "stage2-int8-b2-accum16", dict(B=2, L=2048,
+                                                          accum=16))]
+    if which in ("", "b8"):
+        todo += [("full", "stage2-int8-b8-retry", dict(B=8, L=2048,
+                                                       int8_base=True,
+                                                       mu_dtype="bfloat16",
+                                                       stage1=False))]
+    if which in ("", "b4"):
+        todo += [("gradonly", "gradonly-b2", dict(B=2, L=2048)),
+                 ("gradonly", "gradonly-b4", dict(B=4, L=2048))]
+
+    for kind, name, kw in todo:
+        try:
+            if kind == "accum":
+                res = run_accum_variant(name, cfg, **kw)
+            elif kind == "gradonly":
+                res = run_gradonly_probe(name, cfg, **kw)
+            else:
+                res = bench_train.run_variant(name, cfg, kw.pop("B"),
+                                              kw.pop("L"), **kw)
+        except Exception as e:  # noqa: BLE001
+            res = {"variant": name, "error": f"{type(e).__name__}: {e}"[:300]}
+            gc.collect()
+        emit(res)
+    out.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,17 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 TINY = os.environ.get("MC_PIPE_TINY") == "1"  # CPU smoke of the flow
-N_SAMPLES = 8 if TINY else 64
-BATCH = 2
-TIMED_STEPS = 3 if TINY else 10
+# MC_PIPE_STAGE1=1: stage-1 projector pretrain at the reference
+# run_pretrain_vision.sh shape (b16x1024) — the production pipeline
+# configuration WITH HBM margin (stage-2 7B+tower runs at the HBM edge
+# and degrades ~25x; see BASELINE.md round-4 section).
+STAGE1 = os.environ.get("MC_PIPE_STAGE1") == "1"
+BATCH = int(os.environ.get("MC_PIPE_BATCH") or (16 if STAGE1 else 2))
+TIMED_STEPS = 3 if TINY else int(os.environ.get("MC_PIPE_STEPS") or 10)
+SKIP_STEPS = 2 if TINY else 4
+# enough samples that the timed window never restarts the PrefetchLoader
+# (an epoch boundary respawns workers mid-measurement)
+N_SAMPLES = 8 if TINY else BATCH * (TIMED_STEPS + SKIP_STEPS + 2)
 
 
 def make_dataset(root):
@@ -80,7 +88,7 @@ def run_train(tmp, data_path, base_dir, max_steps, outdir):
 
     argv = [
         "--model_name_or_path", base_dir,
-        "--version", "v1",
+        "--version", "v1" if not STAGE1 else "plain",
         "--data_path", data_path,
         "--output_dir", os.path.join(tmp, outdir),
         "--mm_vision_encoder",
@@ -103,6 +111,11 @@ def run_train(tmp, data_path, base_dir, max_steps, outdir):
         "--save_steps", "0",
         "--random_init_backbone",
     ]
+    if STAGE1:
+        # reference stage-1 (run_pretrain_vision.sh): projector-only
+        # training; the adapter stack stays resident-but-frozen so the
+        # compiled step matches the bench_train stage1 floor variant
+        argv += ["--tune_mm_mlp_adapter", "True"]
     args = build_arg_parser().parse_args(argv)
     tok = FakeLlamaTokenizer()
     tok.model_max_length = 2048
@@ -124,8 +137,14 @@ def _enable_compile_cache():
 
 
 def main():
-    _enable_compile_cache()
     import jax
+    if TINY:
+        # the CPU smoke must actually run on CPU: the axon environment
+        # pins the TPU relay from sitecustomize, so env vars are too late
+        # — jax.config is the override that works (tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _enable_compile_cache()
     if jax.default_backend() != "tpu" and not TINY:
         print(json.dumps({"error": "not on tpu"}))
         return
@@ -134,14 +153,15 @@ def main():
 
     # one pass: the first MC_LOOP_TIME_SKIP steps absorb jit tracing and
     # compile-cache loads, then train() times the steady-state window
-    os.environ["MC_LOOP_TIME_SKIP"] = "4"
-    _, result = run_train(tmp, data_path, base_dir, TIMED_STEPS + 4,
-                          "out_timed")
+    os.environ["MC_LOOP_TIME_SKIP"] = str(SKIP_STEPS)
+    _, result = run_train(tmp, data_path, base_dir,
+                          TIMED_STEPS + SKIP_STEPS, "out_timed")
     wall = result["steady_seconds"]
+    timed_steps = result.get("steady_steps", TIMED_STEPS)
     # per-sample packed length: 586-token image span + prompt text
     # (bucket 1024); count bucket tokens to match the step bench
     sample_bucket = 1024
-    toks = TIMED_STEPS * BATCH * sample_bucket
+    toks = timed_steps * BATCH * sample_bucket
     gc.collect()
 
     if TINY:
@@ -153,23 +173,24 @@ def main():
     import bench_train
     floor = bench_train.run_variant(
         "floor", bench_train.stage2_cfg(), BATCH, sample_bucket,
-        int8_base=True, mu_dtype="bfloat16", stage1=False, steps=6)
+        int8_base=True, mu_dtype="bfloat16", stage1=STAGE1, steps=6)
 
     pipeline_tps = toks / wall
     step_s = floor["step_ms"] / 1e3
-    idle = max(0.0, 1.0 - (step_s * TIMED_STEPS) / wall)
+    idle = max(0.0, 1.0 - (step_s * timed_steps) / wall)
     out = {
         "pipeline_tokens_per_sec": round(pipeline_tps, 1),
         "pipeline_wall_s": round(wall, 2),
         "device_step_ms": floor["step_ms"],
         "device_only_tokens_per_sec": floor["tokens_per_sec"],
         "device_idle_fraction": round(idle, 3),
-        "steps": TIMED_STEPS, "batch": BATCH, "bucket": sample_bucket,
+        "steps": timed_steps, "batch": BATCH, "bucket": sample_bucket,
         "final_loss": result["final_loss"],
     }
     print(json.dumps(out))
+    variant = "pipeline-e2e-stage1" if STAGE1 else "pipeline-e2e"
     with open(os.path.join(REPO, "BENCH_TRAIN.jsonl"), "a") as f:
-        f.write(json.dumps({"variant": "pipeline-e2e", **out}) + "\n")
+        f.write(json.dumps({"variant": variant, **out}) + "\n")
 
 
 if __name__ == "__main__":

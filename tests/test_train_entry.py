@@ -245,3 +245,35 @@ def test_stage2_quantized_base_and_chunked_loss(tmp_path, tiny_dataset,
                   max_steps="4")
     result2 = train(args2, tokenizer=TinyTokenizer())
     assert result2["steps"] == 4
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_through_entry(tmp_path, tiny_dataset,
+                                             monkeypatch):
+    """--gradient_accumulation_steps through the train entry: the running
+    donated accumulation (peak = 2 grad trees at any depth, not accum
+    trees) applies one optimizer step per ``accum`` micro-batches and the
+    export path still works."""
+    from modelcompose_tpu.train.train_multimodal import train
+    args = _args(tmp_path, tiny_dataset, lora_strategy="modal+language",
+                 lora_r="4", lora_alpha="8", local_prefix_tokens="1",
+                 local_suffix_tokens="1",
+                 gradient_accumulation_steps="2", max_steps="4",
+                 save_steps="0")
+    import modelcompose_tpu.train.train_multimodal as tm
+    orig = tm.build_model_config
+
+    def tiny_cfg(a):
+        cfg = orig(a)
+        cfg.vocab_size, cfg.hidden_size = 256, 64
+        cfg.intermediate_size, cfg.num_hidden_layers = 128, 2
+        cfg.num_attention_heads = cfg.num_key_value_heads = 4
+        return cfg
+
+    monkeypatch.setattr(tm, "build_model_config", tiny_cfg)
+    result = train(args, tokenizer=TinyTokenizer())
+    # 4 micro-batches = 2 optimizer steps
+    assert result["steps"] == 4
+    assert all(np.isfinite(result["losses"]))
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "adapter_model.safetensors"))
