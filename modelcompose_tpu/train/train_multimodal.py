@@ -125,6 +125,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "logits + cotangent)")
     p.add_argument("--adam_mu_dtype", type=str, default=None,
                    help="dtype for Adam first moments (e.g. bfloat16)")
+    p.add_argument("--tower_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="parameter dtype for FROZEN encoder towers "
+                        "(bfloat16 halves tower HBM and keeps the "
+                        "compiled step identical to the bf16-feature "
+                        "device floor; a trained vision tower — "
+                        "--mm_vision_tower_lr — always stays float32)")
     return p
 
 
@@ -170,7 +177,13 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
     rng = jax.random.PRNGKey(args.seed)
     k_lm, k_enc, k_proj = jax.random.split(rng, 3)
 
-    encoders = build_modal_encoders(cfg, k_enc)
+    import jax.numpy as jnp
+    tower_dtype = jnp.dtype(getattr(args, "tower_dtype", "bfloat16"))
+    if getattr(args, "mm_vision_tower_lr", None) is not None:
+        # a TRAINED tower keeps float32 master weights (its params join
+        # the optimizer); frozen towers elsewhere still honor tower_dtype
+        tower_dtype = jnp.float32
+    encoders = build_modal_encoders(cfg, k_enc, dtype=tower_dtype)
     for modal, enc in encoders.items():
         setter = {"vision": "mm_hidden_size", "audio": "mm_audio_hidden_size",
                   "video": "mm_video_hidden_size",
@@ -484,11 +497,18 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                 state, loss = step_fn(state, batch, layout)
             if trace_loop:
                 t_d = time.perf_counter()
+                sync_txt = ""
+                if trace_loop == "sync":
+                    # block on this step's loss: exposes the true per-step
+                    # device time in pipeline context (serializes the loop,
+                    # so throughput numbers from a sync run are not valid)
+                    jax.block_until_ready(loss)
+                    sync_txt = f" device {time.perf_counter() - t_d:.3f}s"
                 print(f"[loop-trace] step {step_idx}: loader_wait "
                       f"{t_a - t_mark:.3f}s make_batch {t_b - t_a:.3f}s "
                       f"device_put {t_c - t_b:.3f}s dispatch "
-                      f"{t_d - t_c:.3f}s", flush=True)
-                t_mark = t_d
+                      f"{t_d - t_c:.3f}s{sync_txt}", flush=True)
+                t_mark = time.perf_counter() if sync_txt else t_d
             else:
                 t_mark = time.perf_counter()
             step_idx += 1
@@ -507,6 +527,16 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                       f"loss {avg:.4f} ({rate:.2f} it/s)")
             if args.save_steps and step_idx % args.save_steps == 0:
                 save_step_checkpoint(args.output_dir, step_idx, state)
+
+    # close the steady-state window at LOOP end (sync to the last step's
+    # completion): the one-time final export below is amortized over a
+    # real epoch's thousands of steps and must not bill into the
+    # steady-state throughput the pipeline bench reports
+    t_loop_end = None
+    if t_steady is not None:
+        if losses:
+            jax.block_until_ready(losses[-1])
+        t_loop_end = time.time()
 
     # final export (reference: train_multimodal.py:505-524)
     backbone = state.params["backbone"]
@@ -532,7 +562,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
               "steps": step_idx, "losses": losses,
               "train_loop_seconds": train_loop_seconds}
     if t_steady is not None and step_idx > start_step + skip:
-        result["steady_seconds"] = time.time() - t_steady
+        result["steady_seconds"] = t_loop_end - t_steady
         result["steady_steps"] = step_idx - start_step - skip
     return result
 

@@ -438,20 +438,27 @@ def _is_float0(x):
     return getattr(x, "dtype", None) == jax.dtypes.float0
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def scale_grads(grads, c):
     """Elementwise grads * c, passing float0 (frozen-int) leaves through
     — the gradient-accumulation averaging step, jitted so it is one
-    dispatch instead of one per leaf."""
+    dispatch instead of one per leaf.  The input (the finished running
+    total) is donated: the averaged copy would otherwise double grad
+    memory right before apply_fn's peak."""
     return jax.tree.map(lambda g: g if _is_float0(g) else g * c, grads)
 
 
 def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
-                        attn_impl: str = "auto", vision_tower_cfg=None):
+                        attn_impl: str = "auto", vision_tower_cfg=None,
+                        donate: bool = True):
     """Gradient accumulation (reference recipe:
     --gradient_accumulation_steps, run_finetune_vision_damc.sh): a jitted
     per-micro-batch grad fn and a jitted apply fn; the caller averages
-    grads over micro-batches between them."""
+    grads over micro-batches between them.
+
+    donate=True (production) frees the old TrainState + the averaged grad
+    tree inside apply_fn; pass False when the caller keeps references to
+    the pre-step state or its params (tests)."""
     routing_table = jnp.asarray(cfg.routing_table())
 
     @functools.partial(jax.jit, static_argnames=("feat_layout",))
@@ -473,8 +480,14 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         # promoted to fp32 by accumulate), defeating quantize_frozen_base
         return loss, grads
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0, 1) if donate else ())
     def apply_fn(state: TrainState, grads):
+        """Both args DONATED: without state donation the optimizer update
+        holds old+new TrainState simultaneously (~2x params+moments —
+        24 GB at 7B, instant OOM on a 16 GB chip; the fused
+        make_train_step donates for the same reason); the averaged grad
+        tree is dead after the update, so it donates too."""
         grads = _densify_int_grads(grads, state.params)  # DCE'd (frozen)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

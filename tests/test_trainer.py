@@ -232,8 +232,9 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     state_b = init_train_state(model.cfg, tc, model.params,
                                model.projectors)
     tx_b, _ = make_optimizer(model.cfg, tc, state_b.params)
-    grad_fn, apply_fn, accumulate = make_grad_and_apply(model.cfg, tc, tx_b,
-                                                        attn_impl="xla")
+    grad_fn, apply_fn, accumulate = make_grad_and_apply(
+        model.cfg, tc, tx_b, attn_impl="xla",
+        donate=False)  # the fixture keeps model.params
     # big-batch gradients vs two accumulated micro-batches: the
     # accumulation CONTRACT is gradient equality (post-Adam params are
     # sign-unstable where a gradient element is ~0 — the update is
@@ -464,7 +465,8 @@ def test_grad_accum_with_tower_training():
                                            model.encoders["vision"].params})
     tx, _ = make_optimizer(cfg, tc, state.params)
     grad_fn, apply_fn, accumulate = make_grad_and_apply(
-        cfg, tc, tx, vision_tower_cfg=model.encoders["vision"].cfg)
+        cfg, tc, tx, vision_tower_cfg=model.encoders["vision"].cfg,
+        donate=False)  # the fixture keeps model.params
 
     IMG = MODAL_TOKEN_INDEXES["vision"]
     collated = {
