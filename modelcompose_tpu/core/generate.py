@@ -64,20 +64,28 @@ def _prefill_chunk_step(params, cfg: ModelConfig, cache, embeds_chunk,
 def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
                     routing_table, lengths, cache_len: int,
                     chunk: int = 256, attn_impl: str = "auto",
-                    tick_cb=None):
+                    tick_cb=None, kv_quant: bool = False):
     """Chunked prefill for batch-1, right-padded prompts (the
     serve/slot_engine admission shape): the prompt is processed in
     ``chunk``-token pieces so the caller can interleave work between
     pieces (``tick_cb()`` runs after each chunk — the slot scheduler's
-    decode tick).  Produces the same (last-position logits, cache) as
-    ``_prefill``; parity is pinned in tests/test_chunked_prefill.py.
+    decode tick).  With ``kv_quant=False`` it produces the same
+    (last-position logits, cache) as ``_prefill``; parity is pinned in
+    tests/test_chunked_prefill.py.
 
     Causal masking with the query offset exposes exactly the initialized
     cache prefix, so no segment ids are needed for a single right-padded
-    sample.  The returned cache is always bf16 (per-chunk attention reads
-    it back at full precision); a caller with an int8 pooled cache
-    quantizes at splice time (serve/slot_engine._splice_slot), which is
-    bit-identical to ``_prefill``'s write-time quantization."""
+    sample.
+
+    ``kv_quant=True`` quantizes each chunk's k/v into an int8 cache at
+    append time and later chunks attend over the DEQUANTIZED prefix —
+    the same approximation class as the int8-KV decode path
+    (ops/attention.decode_attention), applied one phase earlier.  This
+    bounds the admission transient to the int8 cache (0.95 GB at
+    7B/3456 vs 3.6 GB bf16), which is what lets a long-context
+    admission fit next to the 7B weights and the slot pool on a 16 GB
+    chip; the small logits difference vs one-shot bf16-read prefill is
+    pinned in tests/test_chunked_prefill.py."""
     from .llama import logits_from_hidden
 
     B, L, _ = inputs_embeds.shape
@@ -88,7 +96,7 @@ def prefill_chunked(params, cfg: ModelConfig, inputs_embeds, route_ids,
     sizes = [chunk] * (L // chunk)
     if L % chunk:
         sizes.append(L % chunk)
-    cache = KVCache.zeros(cfg, B, cache_len)
+    cache = KVCache.zeros(cfg, B, cache_len, quantized=kv_quant)
     if routing_table is not None:
         routing_table = jnp.asarray(routing_table)
     last_idx = int(np.asarray(lengths)[0]) - 1

@@ -253,14 +253,24 @@ def _layer(cfg: ModelConfig, lp, x, route, cos, sin, *, segment_ids,
         # over the whole cache with the query offset — causal masking
         # alone exposes exactly the initialized prefix [0, q_offset + L)
         # for a right-padded batch-1 prompt (serve/slot_engine admission).
-        assert not isinstance(new_cache_k, dict), \
-            "chunked prefill requires an unquantized KV cache"
         # static prefix slice: causal masking would discard keys past
         # q_offset+L anyway — don't stream the zero-filled cache tail
         S_used = q_offset + L
-        attn_out = attention(q, new_cache_k[:, :S_used],
-                             new_cache_v[:, :S_used], causal=True,
-                             q_offset=q_offset, impl=attn_impl)
+
+        def used(c):
+            if isinstance(c, dict):
+                # int8 transient cache (quantize-at-append, the
+                # memory-bounded long-admission path): dequantize only
+                # the used prefix — [B, S_used, Hkv, D] bf16, a few MB
+                # per layer inside the scan, vs keeping the WHOLE
+                # transient cache bf16 (3.6 GB at 7B/3456)
+                return (c["q"][:, :S_used].astype(jnp.float32)
+                        * c["scale"][:, :S_used]).astype(x.dtype)
+            return c[:, :S_used]
+
+        attn_out = attention(q, used(new_cache_k), used(new_cache_v),
+                             causal=True, q_offset=q_offset,
+                             impl=attn_impl)
     else:
         attn_out = attention(q, k, v, causal=True, q_segment_ids=segment_ids,
                              kv_segment_ids=segment_ids, impl=attn_impl)

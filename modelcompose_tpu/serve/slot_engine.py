@@ -42,13 +42,12 @@ def _splice_slot(big, small, slot):
     (donated: the update is in place, no pooled-cache copy).
 
     When the pool is int8-quantized but the incoming cache is bf16 (a
-    chunked admission prefill builds an unquantized batch-1 cache so its
-    per-chunk attention reads stay full-precision — the same semantics as
-    one-shot ``_prefill``, which attends over raw bf16 k/v and only
-    quantizes at cache write), the splice quantizes here.  ``quantize_kv``
-    is deterministic per token-head vector on the identical bf16 values
-    the one-shot path quantizes, so the pooled int8 rows are bit-identical
-    either way (tests/test_slot_engine.py pins token parity)."""
+    one-shot admission prefill attends over raw bf16 k/v and only
+    quantizes at cache write), the splice quantizes here.  A chunked
+    admission into an int8 pool instead arrives ALREADY quantized
+    (``prefill_chunked(kv_quant=True)`` quantizes at append time so the
+    transient stays 1/4 the bf16 bytes) and the splice is a plain int8
+    row copy."""
     def put(b, s):
         start = (0,) * b.ndim
         start = (start[0], slot) + start[2:]
@@ -81,9 +80,9 @@ class SlotDecoder:
         # chunked admission prefill: decode ticks interleave between
         # chunks instead of stalling for the whole prompt
         # (core/generate.prefill_chunked).  Composes with an int8 pooled
-        # cache: the chunked prefill builds a bf16 batch-1 cache and
-        # ``_splice_slot`` quantizes at splice time (bit-identical rows
-        # to the one-shot write-time quantization).
+        # cache: the chunked prefill quantizes each chunk at append time
+        # into an int8 transient (memory-bounded long admissions) and
+        # ``_splice_slot`` copies the int8 rows into the pool.
         self.prefill_chunk = prefill_chunk
         self.cache = KVCache.zeros(self.cfg, max_slots, cache_len,
                                    quantized=kv_quant)
@@ -136,10 +135,13 @@ class SlotDecoder:
             if self.cfg.routing_active() else None
         if self.prefill_chunk:
             from ..core.generate import prefill_chunked
+            # int8 pool -> int8 transient (quantize-at-append): the
+            # admission's working cache is 1/4 the bf16 bytes, so a
+            # long-context admission fits next to the weights + pool
             logits1, cache1 = prefill_chunked(
                 self.model.params, self.cfg, embeds, route_ids, self.table,
                 plan.lengths, self.cache_len, chunk=self.prefill_chunk,
-                tick_cb=tick_cb)
+                tick_cb=tick_cb, kv_quant=self.kv_quant)
         else:
             logits1, cache1 = _prefill(
                 self.model.params, self.cfg, embeds, route_ids, self.table,

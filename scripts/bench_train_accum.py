@@ -159,6 +159,9 @@ def main():
 
     todo = []
     which = os.environ.get("MC_ACCUM_ONLY", "")
+    if which == "accum1":
+        todo += [("accum", "stage2-int8-b2-accum1", dict(B=2, L=2048,
+                                                         accum=1))]
     if which in ("", "accum"):
         todo += [("accum", "stage2-int8-b2-accum1", dict(B=2, L=2048,
                                                          accum=1)),
@@ -185,6 +188,8 @@ def main():
                 res = bench_train.run_variant(name, cfg, kw.pop("B"),
                                               kw.pop("L"), **kw)
         except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
             res = {"variant": name, "error": f"{type(e).__name__}: {e}"[:300]}
             gc.collect()
         emit(res)

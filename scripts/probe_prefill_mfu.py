@@ -30,7 +30,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-L = 3328  # composed MCUB-4 bucket (3,287 valid positions)
+L = int(os.environ.get("MC_PROBE_L", "3328"))  # composed MCUB-4 bucket
 H, KV, I = 4096, 4096, 11008
 N_LAYERS = 32
 

@@ -89,6 +89,57 @@ def test_chunked_prefill_ragged_and_unit_chunks():
                                    atol=2e-5, err_msg=f"chunk={chunk}")
 
 
+@pytest.mark.slow
+def test_chunked_prefill_kv_quant_append():
+    """kv_quant=True: each chunk quantizes into an int8 transient at
+    append time (memory-bounded long admissions, serve/slot_engine).
+    The cache is int8-structured, its valid rows equal the one-shot
+    int8 prefill's write-time quantization within 1 int8 step (inputs
+    to quantize_kv differ only by the prefix's dequant round-trip), and
+    the logits stay close to the bf16-read path — the same
+    approximation class as int8-KV decode, one phase earlier."""
+    cfg, params, embeds, route, lengths = _setup()
+    table = cfg.routing_table()
+    seg = (np.arange(16)[None] < lengths[:, None]).astype(np.int32)
+    cache_len = 32
+
+    logits_bf, _ = prefill_chunked(params, cfg, embeds, route, table,
+                                   lengths, cache_len, chunk=4)
+    logits_q, cache_q = prefill_chunked(params, cfg, embeds, route, table,
+                                        lengths, cache_len, chunk=4,
+                                        kv_quant=True)
+    assert isinstance(cache_q.k, dict) and cache_q.k["q"].dtype == jnp.int8
+    rel = (np.abs(np.asarray(logits_q) - np.asarray(logits_bf)).max()
+           / (np.abs(np.asarray(logits_bf)).max() + 1e-9))
+    assert rel < 0.05, rel
+
+    # one-shot int8 prefill: same quantized-cache STRUCTURE; the valid
+    # int8 rows agree tightly (layer-l k/v see layer-(l-1) attention
+    # outputs that already differ by the prefix dequant round-trip, so
+    # the drift compounds a few int8 steps — NOT bit-identity)
+    logits_os, cache_os = _prefill(
+        params, cfg, embeds, route, jnp.asarray(table), jnp.asarray(seg),
+        jnp.asarray(lengths), cache_len, "auto", True)
+    Lv = int(lengths[0])
+    for part in ("k", "v"):
+        a = np.asarray(getattr(cache_q, part)["q"])[:, :, :Lv]
+        b = np.asarray(getattr(cache_os, part)["q"])[:, :, :Lv]
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 8 and (diff <= 1).mean() > 0.99, \
+            (diff.max(), (diff <= 1).mean())
+
+    # greedy continuation through the int8-KV decode path matches the
+    # one-shot int8 engine on this model
+    rng = jax.random.PRNGKey(0)
+    t_q, _ = _decode_loop(params, cfg, cache_q, logits_q,
+                          jnp.asarray(lengths), jnp.asarray(table), rng,
+                          6, -1, 0.0)
+    t_os, _ = _decode_loop(params, cfg, cache_os, logits_os,
+                           jnp.asarray(lengths), jnp.asarray(table), rng,
+                           6, -1, 0.0)
+    assert np.asarray(t_q).tolist() == np.asarray(t_os).tolist()
+
+
 def test_chunked_prefill_no_routing():
     cfg, params, embeds, _, lengths = _setup()
     seg = (np.arange(16)[None] < lengths[:, None]).astype(np.int32)

@@ -182,9 +182,13 @@ def test_chunked_admission_interleaves_and_matches_solo(tiny_model):
 def test_int8_kv_chunked_prefill_matches_one_shot(tiny_model):
     """The int8 pooled cache composes with chunked admission prefill
     (round-4 VERDICT weak #5: they used to be mutually exclusive).
-    Chunked prefill keeps a bf16 batch-1 cache and _splice_slot quantizes
-    at splice time — bit-identical pooled rows to the one-shot write-time
-    quantization, so tokens match exactly."""
+    Chunked prefill quantizes each chunk into an int8 transient at
+    append time (memory-bounded: 1/4 the bf16 transient bytes, which is
+    what lets a 3.3k admission fit on-chip at 7B) and _splice_slot
+    copies the int8 rows.  Greedy tokens on this model match the
+    one-shot int8 engine; the general guarantee is agreement within the
+    int8-KV approximation class (tests/test_chunked_prefill.py pins the
+    cache-row and logits bounds)."""
     model = tiny_model
 
     def prepare(r):
