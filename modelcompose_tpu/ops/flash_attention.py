@@ -131,14 +131,29 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _pick_fwd_blocks(Lq: int, S: int):
+    """Measured forward block tile table (v5e, D=128, causal — probe:
+    scripts/probe_prefill_mfu.py).  At the composed 3328-bucket geometry
+    (512, 1024) runs 13% faster than (256, 512) — fewer grid steps, and
+    the larger kv tile amortizes the online-softmax VPU work per loaded
+    block; at ≤2048 (256, 512) stays best."""
+    if Lq >= 3072:
+        return 512, 1024
+    return 256, 512
+
+
 def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
                              sm_scale, causal, q_offset,
-                             blk_q=256, blk_k=512):
+                             blk_q=None, blk_k=None):
     """q: [B, H, Lq, D]; k, v: [B, Hkv, S, D]; segment ids [B, Lq]/[B, S].
     Returns (out [B, H, Lq, D], lse [B, H, Lq_pad])."""
     B, H, Lq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
+
+    auto_q, auto_k = _pick_fwd_blocks(Lq, S)
+    blk_q = auto_q if blk_q is None else blk_q
+    blk_k = auto_k if blk_k is None else blk_k
 
     # Clamp block size toward the true length but keep it a multiple of 128
     # — odd lengths (e.g. Lq=150) would otherwise violate the (8k, 128)

@@ -256,13 +256,14 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
 
 def _densify_int_grads(grads, params):
     """allow_int=True makes integer param leaves (int8 frozen base weights,
-    ops/quant.quantize_backbone) yield zero-sized float0 grads; the optax
-    chain needs structurally real leaves, so swap in same-dtype zeros —
-    they hit set_to_zero ('frozen' label) and XLA dead-code-eliminates the
-    whole branch."""
+    ops/quant.quantize_backbone) yield zero-sized float0 grads — and the
+    accumulation path shrinks those further to [0]-shaped placeholders at
+    the jit boundary (see make_grad_and_apply); the optax chain needs
+    structurally real leaves, so swap in same-dtype zeros — they hit
+    set_to_zero ('frozen' label) and XLA dead-code-eliminates the whole
+    branch."""
     return jax.tree.map(
-        lambda g, p: jnp.zeros_like(p)
-        if getattr(g, "dtype", None) == jax.dtypes.float0 else g,
+        lambda g, p: jnp.zeros_like(p) if _is_frozen_grad(g) else g,
         grads, params)
 
 
@@ -438,14 +439,21 @@ def _is_float0(x):
     return getattr(x, "dtype", None) == jax.dtypes.float0
 
 
+def _is_frozen_grad(x):
+    """A frozen leaf's gradient: float0 (inside the grad program) or the
+    [0]-shaped placeholder it becomes at the jit boundary."""
+    return _is_float0(x) or getattr(x, "size", 1) == 0
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def scale_grads(grads, c):
-    """Elementwise grads * c, passing float0 (frozen-int) leaves through
+    """Elementwise grads * c, passing frozen-leaf placeholders through
     — the gradient-accumulation averaging step, jitted so it is one
     dispatch instead of one per leaf.  The input (the finished running
     total) is donated: the averaged copy would otherwise double grad
     memory right before apply_fn's peak."""
-    return jax.tree.map(lambda g: g if _is_float0(g) else g * c, grads)
+    return jax.tree.map(lambda g: g if _is_frozen_grad(g) else g * c,
+                        grads)
 
 
 def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
@@ -474,10 +482,18 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
 
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
             train_params)
-        # frozen int leaves keep their zero-sized float0 grads ACROSS the
-        # jit boundary — densifying here would materialize base-weight-
-        # sized zero buffers per micro-batch (7 GB int8 each at 7B, then
-        # promoted to fp32 by accumulate), defeating quantize_frozen_base
+        # Frozen leaves must cross the jit boundary at ZERO size.  float0
+        # is zero-sized only in type: XLA lowers a float0 OUTPUT as one
+        # byte per element, so returning the raw grad tree ships a
+        # base-weight-sized garbage buffer per micro-batch (measured
+        # 7.63 GB output for this grad_fn at 7B int8 — the accum bench's
+        # RESOURCE_EXHAUSTED; scripts/probe_train_memory.py).  Swap them
+        # for [0]-shaped placeholders: the output shrinks to the
+        # trainable grads (~1.3 GB), and _densify_int_grads in apply_fn
+        # re-inflates to zeros that XLA DCEs under the 'frozen' label.
+        grads = jax.tree.map(
+            lambda g: jnp.zeros((0,), jnp.bfloat16)
+            if _is_float0(g) else g, grads)
         return loss, grads
 
     @functools.partial(jax.jit,
@@ -500,6 +516,7 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         grad memory is 2 trees (total + current micro-batch) regardless
         of the accumulation depth."""
         return jax.tree.map(
-            lambda a, g: a if _is_float0(a) else a + g * weight, acc, grads)
+            lambda a, g: a if _is_frozen_grad(a) else a + g * weight,
+            acc, grads)
 
     return grad_fn, apply_fn, accumulate

@@ -129,7 +129,9 @@ def probe_flash_blocks():
     out = {"probe": "flash_blocks", "L": L, "heads": NH}
     results = {}
     for blk_q, blk_k in [(256, 512), (512, 512), (256, 1024), (512, 1024),
-                         (128, 512), (256, 256), (512, 2048)]:
+                         (128, 512), (256, 256), (512, 2048),
+                         (1024, 1024), (1024, 512), (768, 1024),
+                         (512, 1536)]:
         fn = jax.jit(functools.partial(
             _flash_attention_forward, sm_scale=D ** -0.5, causal=True,
             q_offset=0, blk_q=blk_q, blk_k=blk_k))
