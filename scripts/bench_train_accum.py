@@ -157,26 +157,31 @@ def main():
         out.write(json.dumps(res) + "\n")
         out.flush()
 
-    todo = []
+    catalog = {
+        "accum1": ("accum", "stage2-int8-b2-accum1",
+                   dict(B=2, L=2048, accum=1)),
+        "accum4": ("accum", "stage2-int8-b2-accum4",
+                   dict(B=2, L=2048, accum=4)),
+        "accum16": ("accum", "stage2-int8-b2-accum16",
+                    dict(B=2, L=2048, accum=16)),
+        "b8": ("full", "stage2-int8-b8-retry",
+               dict(B=8, L=2048, int8_base=True, mu_dtype="bfloat16",
+                    stage1=False)),
+        "gradonly-b2": ("gradonly", "gradonly-b2", dict(B=2, L=2048)),
+        "gradonly-b4": ("gradonly", "gradonly-b4", dict(B=4, L=2048)),
+    }
     which = os.environ.get("MC_ACCUM_ONLY", "")
-    if which == "accum1":
-        todo += [("accum", "stage2-int8-b2-accum1", dict(B=2, L=2048,
-                                                         accum=1))]
-    if which in ("", "accum"):
-        todo += [("accum", "stage2-int8-b2-accum1", dict(B=2, L=2048,
-                                                         accum=1)),
-                 ("accum", "stage2-int8-b2-accum4", dict(B=2, L=2048,
-                                                         accum=4)),
-                 ("accum", "stage2-int8-b2-accum16", dict(B=2, L=2048,
-                                                          accum=16))]
-    if which in ("", "b8"):
-        todo += [("full", "stage2-int8-b8-retry", dict(B=8, L=2048,
-                                                       int8_base=True,
-                                                       mu_dtype="bfloat16",
-                                                       stage1=False))]
-    if which in ("", "b4"):
-        todo += [("gradonly", "gradonly-b2", dict(B=2, L=2048)),
-                 ("gradonly", "gradonly-b4", dict(B=4, L=2048))]
+    if not which:
+        # parent mode: one SUBPROCESS per variant — a variant's OOM (or
+        # the relay's post-OOM wedge) must not cascade into the next
+        # (measured round 5: in-process `del` + gc does not reliably
+        # return HBM before the next variant's compile)
+        import subprocess
+        for key in catalog:
+            subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env={**os.environ, "MC_ACCUM_ONLY": key})
+        return
+    todo = [catalog[which]] if which in catalog else []
 
     for kind, name, kw in todo:
         try:
