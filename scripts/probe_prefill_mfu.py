@@ -149,6 +149,8 @@ def probe_flash_blocks():
                 "tflops": round(flops / dt / 1e12, 1)}
         except Exception as e:  # noqa: BLE001
             results[f"{blk_q}x{blk_k}"] = {"error": str(e)[:120]}
+        print(f"# {blk_q}x{blk_k}: {results[f'{blk_q}x{blk_k}']}",
+              flush=True)
     out["blocks"] = results
     return out
 
