@@ -159,3 +159,31 @@ def test_backward_gqa_group_sum():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_flash_retuned_blocks_long_context():
+    """The measured block table (_pick_fwd_blocks) switches to a
+    (512, 1024) tile at Lq >= 3072 — the composed long-context prefill
+    geometry.  Parity at a shape that takes that branch (incl. a
+    non-multiple length so the padding path composes with it); the
+    short-L tests never reach it."""
+    from modelcompose_tpu.ops.flash_attention import _pick_fwd_blocks
+
+    assert _pick_fwd_blocks(3328, 3328) == (512, 1024)
+    assert _pick_fwd_blocks(2048, 2048) == (256, 512)
+
+    rng = np.random.default_rng(6)
+    B, L, H, D = 1, 3136, 2, 128
+    q, k, v = _rand_qkv(rng, B=B, L=L, S=L, H=H, Hkv=H, D=D)
+    lengths = np.array([3100])
+    seg = np.zeros((B, L), np.int32)
+    seg[0, :lengths[0]] = 1
+    seg = jnp.array(seg)
+    got = flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                          kv_segment_ids=seg)
+    want = attention_reference(q, k, v, causal=True, q_segment_ids=seg,
+                               kv_segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got)[0, :lengths[0]],
+                               np.asarray(want)[0, :lengths[0]],
+                               rtol=2e-3, atol=2e-3)
