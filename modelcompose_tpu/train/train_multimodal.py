@@ -393,23 +393,27 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:
         from .trainer import make_grad_and_apply
-        grad_fn, apply_fn, accumulate = make_grad_and_apply(
+        grad_fn, apply_fn, _, grad_accum_fn = make_grad_and_apply(
             cfg, tc, tx,
             vision_tower_cfg=model.encoders["vision"].cfg
             if tower_train else None)
-        # RUNNING accumulation: keep one grad-tree total (donated in
-        # place each micro-step), never the per-micro-batch list — N
-        # resident grad trees would be N x 1.35 GB at 7B r=128 and OOM
-        # the chip at the reference's accum=16 long before the step runs.
+        # RUNNING accumulation: keep one grad-tree total, never the
+        # per-micro-batch list — N resident grad trees would be
+        # N x 1.35 GB at 7B r=128 and OOM the chip at the reference's
+        # accum=16 long before the step runs.  The first micro-step's
+        # grad_fn output IS the total; later micro-steps fold into it
+        # with the FUSED grad_accum_fn (donated in place — a split
+        # grad-then-add holds a third grad tree during the backward and
+        # exceeds 16 GB HBM at 7B; see make_grad_and_apply).
         acc_state = {"total": None, "n": 0}
 
         def step_fn(state, batch, layout):
-            loss, grads = grad_fn(state.params, batch, layout)
             if acc_state["total"] is None:
-                acc_state["total"] = grads
+                loss, acc_state["total"] = grad_fn(state.params, batch,
+                                                   layout)
             else:
-                acc_state["total"] = accumulate(acc_state["total"], grads,
-                                                1.0)
+                loss, acc_state["total"] = grad_accum_fn(
+                    state.params, acc_state["total"], batch, layout)
             acc_state["n"] += 1
             if acc_state["n"] < accum:
                 return state, loss  # state unchanged mid-accumulation

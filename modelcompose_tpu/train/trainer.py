@@ -469,8 +469,7 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
     the pre-step state or its params (tests)."""
     routing_table = jnp.asarray(cfg.routing_table())
 
-    @functools.partial(jax.jit, static_argnames=("feat_layout",))
-    def grad_fn(train_params, batch, feat_layout):
+    def _loss_and_pruned_grads(train_params, batch, feat_layout):
         batch = dict(batch)
         batch["feat_layout"] = list(feat_layout)
 
@@ -496,6 +495,29 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
             if _is_float0(g) else g, grads)
         return loss, grads
 
+    @functools.partial(jax.jit, static_argnames=("feat_layout",))
+    def grad_fn(train_params, batch, feat_layout):
+        return _loss_and_pruned_grads(train_params, batch, feat_layout)
+
+    @functools.partial(jax.jit, static_argnames=("feat_layout",),
+                       donate_argnums=(1,) if donate else ())
+    def grad_accum_fn(train_params, acc, batch, feat_layout):
+        """Fused micro-step: compute this micro-batch's grads AND fold
+        them into the DONATED running total in ONE program.  The split
+        grad_fn → accumulate sequence keeps THREE trainable-grad-sized
+        trees live during the backward (grad_fn output + running total +
+        the accumulate result) — at the 7B stage-2 geometry that is
+        state 9.9 GB + backward temp 3.3 GB + 2×1.48 GB grad trees ≈
+        16.1 GB, over the 15.75 GB chip (the accum-bench
+        RESOURCE_EXHAUSTED).  Fusing drops one tree: XLA aliases the
+        donated total in place, peak ≈ 14.6 GB.  First micro-step of a
+        window uses plain grad_fn (its output IS the initial total)."""
+        loss, grads = _loss_and_pruned_grads(train_params, batch,
+                                             feat_layout)
+        new_acc = jax.tree.map(
+            lambda a, g: a if _is_frozen_grad(a) else a + g, acc, grads)
+        return loss, new_acc
+
     @functools.partial(jax.jit,
                        donate_argnums=(0, 1) if donate else ())
     def apply_fn(state: TrainState, grads):
@@ -519,4 +541,4 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
             lambda a, g: a if _is_frozen_grad(a) else a + g * weight,
             acc, grads)
 
-    return grad_fn, apply_fn, accumulate
+    return grad_fn, apply_fn, accumulate, grad_accum_fn

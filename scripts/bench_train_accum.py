@@ -61,16 +61,18 @@ def run_accum_variant(name, cfg, B, L, accum, steps=3):
                      loss_chunk=256)
     state = init_train_state(cfg, tc, backbone, projectors)
     tx, _ = make_optimizer(cfg, tc, state.params)
-    grad_fn, apply_fn, accumulate = make_grad_and_apply(cfg, tc, tx)
+    grad_fn, apply_fn, _, grad_accum_fn = make_grad_and_apply(cfg, tc, tx)
     batch, layout = bench_train.make_batch(
         cfg, B, L, 576 + cfg.local_prefix_tokens + cfg.local_suffix_tokens)
 
     def opt_step(state):
-        total = None
-        loss = None
-        for _ in range(accum):
-            loss, grads = grad_fn(state.params, batch, layout)
-            total = grads if total is None else accumulate(total, grads, 1.0)
+        # the entry's path: first micro-step's grads ARE the total,
+        # later micro-steps fold in via the FUSED donated grad_accum_fn
+        # (the split grad-then-accumulate holds a third grad tree during
+        # the backward and exceeds 16 GB HBM at this geometry)
+        loss, total = grad_fn(state.params, batch, layout)
+        for _ in range(accum - 1):
+            loss, total = grad_accum_fn(state.params, total, batch, layout)
         total = scale_grads(total, 1.0 / accum)
         return apply_fn(state, total), loss
 
@@ -116,22 +118,19 @@ def run_gradonly_probe(name, cfg, B, L, steps=4):
                      loss_chunk=256)
     state = init_train_state(cfg, tc, backbone, projectors)
     tx, _ = make_optimizer(cfg, tc, state.params)
-    grad_fn, _, accumulate = make_grad_and_apply(cfg, tc, tx)
+    grad_fn, _, _, grad_accum_fn = make_grad_and_apply(cfg, tc, tx)
     batch, layout = bench_train.make_batch(
         cfg, B, L, 576 + cfg.local_prefix_tokens + cfg.local_suffix_tokens)
 
-    loss, grads = grad_fn(state.params, batch, layout)
+    loss, total = grad_fn(state.params, batch, layout)
     np.asarray(loss)
-    # thread a data dependency through iterations (CSE trap): feed the
-    # accumulated grads back in as a no-op perturbation is not possible
-    # on the batch, but each grad_fn call is state-independent and jit
-    # caches on shapes — time a chain where the accumulator consumes
-    # every result so none can be elided.
-    total = grads
+    # thread a data dependency through iterations (CSE trap): each
+    # grad_fn call is state-independent and jit caches on shapes — time
+    # the fused chain where the accumulator consumes every result so
+    # none can be elided.
     t0 = time.perf_counter()
     for _ in range(steps):
-        loss, grads = grad_fn(state.params, batch, layout)
-        total = accumulate(total, grads, 1.0)
+        loss, total = grad_accum_fn(state.params, total, batch, layout)
     float(np.asarray(loss))
     np.asarray(jax.tree.leaves(total)[0])
     dt = (time.perf_counter() - t0) / steps

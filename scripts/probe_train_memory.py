@@ -96,7 +96,8 @@ def main():
         print(json.dumps({"program": f"fused-b{B}",
                           "gb": mem_report(c)}), flush=True)
 
-        grad_fn, apply_fn, accumulate = make_grad_and_apply(cfg, tc, tx)
+        grad_fn, apply_fn, accumulate, grad_accum_fn = \
+            make_grad_and_apply(cfg, tc, tx)
         cg = grad_fn.lower(state_s.params, batch_s, layout).compile()
         print(json.dumps({"program": f"grad_fn-b{B}",
                           "gb": mem_report(cg)}), flush=True)
@@ -109,6 +110,10 @@ def main():
         cac = accumulate.lower(grads_s, grads_s, 1.0).compile()
         print(json.dumps({"program": f"accumulate-b{B}",
                           "gb": mem_report(cac)}), flush=True)
+        cfa = grad_accum_fn.lower(state_s.params, grads_s, batch_s,
+                                  layout).compile()
+        print(json.dumps({"program": f"grad_accum_fused-b{B}",
+                          "gb": mem_report(cfa)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -232,7 +232,7 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     state_b = init_train_state(model.cfg, tc, model.params,
                                model.projectors)
     tx_b, _ = make_optimizer(model.cfg, tc, state_b.params)
-    grad_fn, apply_fn, accumulate = make_grad_and_apply(
+    grad_fn, apply_fn, accumulate, grad_accum_fn = make_grad_and_apply(
         model.cfg, tc, tx_b, attn_impl="xla",
         donate=False)  # the fixture keeps model.params
     # big-batch gradients vs two accumulated micro-batches: the
@@ -246,6 +246,16 @@ def test_grad_accumulation_matches_big_batch(vision_model):
     total = accumulate(g1, g2, 1.0)
     total = jax.tree.map(lambda x: x / 2, total)
     for a, b in zip(jax.tree.leaves(g_big), jax.tree.leaves(total)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # the FUSED micro-step (grad + fold into the donated running total
+    # in one program — the entry's production path) matches the split
+    # grad_fn -> accumulate sequence exactly
+    _, g1f = grad_fn(state_b.params, half(batch, slice(0, 2)), half_layout)
+    _, total_f = grad_accum_fn(state_b.params, g1f,
+                               half(batch, slice(2, 4)), half_layout)
+    total_f = jax.tree.map(lambda x: x / 2, total_f)
+    for a, b in zip(jax.tree.leaves(g_big), jax.tree.leaves(total_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
     # and the apply path runs (params move)
@@ -464,7 +474,7 @@ def test_grad_accum_with_tower_training():
                              tower_params={"vision":
                                            model.encoders["vision"].params})
     tx, _ = make_optimizer(cfg, tc, state.params)
-    grad_fn, apply_fn, accumulate = make_grad_and_apply(
+    grad_fn, apply_fn, accumulate, _ = make_grad_and_apply(
         cfg, tc, tx, vision_tower_cfg=model.encoders["vision"].cfg,
         donate=False)  # the fixture keeps model.params
 
