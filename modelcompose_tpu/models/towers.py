@@ -113,8 +113,8 @@ class ClipVisionTower:
         return self.encode(pixels)
 
 
-def build_modal_encoders(cfg: ModelConfig, rng=None,
-                         dtype=None) -> Dict[str, Any]:
+def build_modal_encoders(cfg: ModelConfig, rng=None, dtype=None,
+                         dtype_per_modal=None) -> Dict[str, Any]:
     """reference: multimodal_encoder/builder.py:86-116.
 
     ``dtype`` (optional) sets every tower's parameter dtype.  Frozen
@@ -123,11 +123,17 @@ def build_modal_encoders(cfg: ModelConfig, rng=None,
     the HBM, and the compiled train step then matches the bf16-feature
     device-floor program exactly (fp32 features compile a *different,
     slower* step — measured +10% step time at stage-1 b16).
+
+    ``dtype_per_modal`` overrides ``dtype`` for named modalities — a
+    TRAINED tower keeps float32 master weights while the frozen towers
+    beside it still honor ``dtype`` (forcing every tower fp32 doubles
+    frozen-tower HBM on a chip already at the memory edge).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    kw = {} if dtype is None else {"dtype": dtype}
     encoders: Dict[str, Any] = {}
     for modal in cfg.modalities():
+        mdt = (dtype_per_modal or {}).get(modal, dtype)
+        kw = {} if mdt is None else {"dtype": mdt}
         spec = cfg.encoder_spec(modal)
         rng, sub = jax.random.split(rng)
         if modal == "vision":

@@ -208,7 +208,14 @@ def _flash_attention_forward(q, k, v, q_segment_ids, kv_segment_ids,
         interpret=_interpret(),
     )(q, k, v, qseg, kvseg)
 
-    return out[:, :, :Lq, :D], lse[..., 0]
+    # Slice lse to the TRUE Lq: the forward and backward pick their block
+    # sizes independently (_pick_fwd_blocks retunes the forward tile by
+    # shape), so the residual contract must be padding-free — returning
+    # the forward-padded lse breaks jax.grad whenever Lq is not a
+    # multiple of the forward's blk_q (e.g. the composed 3328 bucket
+    # with the (512, 1024) tile pads to 3584; the backward re-pads with
+    # its own blk_q=256 and the shapes collide).
+    return out[:, :, :Lq, :D], lse[:, :, :Lq, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -179,11 +179,13 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
 
     import jax.numpy as jnp
     tower_dtype = jnp.dtype(getattr(args, "tower_dtype", "bfloat16"))
-    if getattr(args, "mm_vision_tower_lr", None) is not None:
-        # a TRAINED tower keeps float32 master weights (its params join
-        # the optimizer); frozen towers elsewhere still honor tower_dtype
-        tower_dtype = jnp.float32
-    encoders = build_modal_encoders(cfg, k_enc, dtype=tower_dtype)
+    # a TRAINED tower keeps float32 master weights (its params join the
+    # optimizer); frozen towers BESIDE it still honor --tower_dtype —
+    # forcing every tower fp32 doubles frozen-tower HBM for nothing
+    overrides = {"vision": jnp.float32} \
+        if getattr(args, "mm_vision_tower_lr", None) is not None else None
+    encoders = build_modal_encoders(cfg, k_enc, dtype=tower_dtype,
+                                    dtype_per_modal=overrides)
     for modal, enc in encoders.items():
         setter = {"vision": "mm_hidden_size", "audio": "mm_audio_hidden_size",
                   "video": "mm_video_hidden_size",
@@ -538,8 +540,16 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     # steady-state throughput the pipeline bench reports
     t_loop_end = None
     if t_steady is not None:
+        # sync on the STATE, not just losses[-1]: under accumulation the
+        # loss comes from the last grad micro-step program while the
+        # final apply_fn (optimizer update over params+moments) may still
+        # be running — closing on the loss alone leaves it outside the
+        # window.  Both are scalar D2H fetches (np.asarray is the sync
+        # that works through the axon relay; state.step is an apply_fn
+        # output, losses[-1] covers a trailing partial accum window).
+        np.asarray(state.step)
         if losses:
-            jax.block_until_ready(losses[-1])
+            np.asarray(losses[-1])
         t_loop_end = time.time()
 
     # final export (reference: train_multimodal.py:505-524)

@@ -532,7 +532,7 @@ def make_grad_and_apply(cfg: ModelConfig, tc: TrainConfig, tx,
         return TrainState(params=new_params, opt_state=new_opt,
                           step=state.step + 1)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def accumulate(acc, grads, weight):
         """acc is DONATED: the running total updates in place, so peak
         grad memory is 2 trees (total + current micro-batch) regardless

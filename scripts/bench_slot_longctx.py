@@ -14,7 +14,10 @@ Protocol (SlotDecoder driven directly, the exact engine code path):
   3. measure the 2-active-slot tick rate (combined tok/s).
 
 Memory at 7B int8 weights (6.7 GB): pool = 2 slots x 3456 int8 KV
-(3.6 GB) + the admission's transient bf16 batch-1 cache (3.6 GB).
+(1.8 GB) + the admission's transient batch-1 cache, which this config
+quantizes at append time (kv_quant=True): ~0.95 GB int8 — the bf16
+transient it replaces was 3.6 GB, the very thing that made a long
+admission OOM next to the pool (BASELINE.md round-5).
 
 Appends a row to BENCH_TRAIN.jsonl (variant slot-longctx) for BASELINE.
 Run: timeout 3000 python scripts/bench_slot_longctx.py

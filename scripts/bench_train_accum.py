@@ -137,7 +137,7 @@ def run_gradonly_probe(name, cfg, B, L, steps=4):
     res = {"variant": name, "batch": B, "seq": L,
            "grad_ms": round(dt * 1e3, 1),
            "grad_tokens_per_sec": round(B * L / dt, 1)}
-    del state, batch, backbone, projectors, total, grads
+    del state, batch, backbone, projectors, total
     gc.collect()
     return res
 

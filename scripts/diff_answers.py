@@ -13,16 +13,29 @@ import json
 import sys
 
 
-def load(path):
-    rows = {}
+def load(path, field):
+    """Returns (rows-by-id, problem-list).  Duplicate ids with DIFFERENT
+    answers and rows missing any id are reported as problems — silently
+    keeping the last row would let the parity gate exit 0 on files that
+    differ (e.g. a re-run chunked harness that appended to a partial
+    answers jsonl)."""
+    rows, problems = {}, []
     with open(path) as f:
-        for line in f:
+        for n, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
             r = json.loads(line)
-            rows[r.get("question_id", r.get("id"))] = r
-    return rows
+            qid = r.get("question_id", r.get("id"))
+            if qid is None:
+                problems.append(f"{path}:{n}: row has no question_id/id")
+                continue
+            if qid in rows and rows[qid].get(field) != r.get(field):
+                problems.append(
+                    f"{path}:{n}: duplicate qid={qid!r} with a DIFFERENT "
+                    f"{field!r}")
+            rows[qid] = r
+    return rows, problems
 
 
 def main():
@@ -35,7 +48,9 @@ def main():
                     help="mismatches to print")
     args = ap.parse_args()
 
-    a, b = load(args.ours), load(args.theirs)
+    a, problems_a = load(args.ours, args.field)
+    b, problems_b = load(args.theirs, args.field)
+    problems = problems_a + problems_b
     only_a = sorted(set(a) - set(b))
     only_b = sorted(set(b) - set(a))
     shared = sorted(set(a) & set(b))
@@ -47,11 +62,15 @@ def main():
         "shared": len(shared), "identical": len(shared) - len(mism),
         "mismatched": len(mism),
         "only_in_ours": len(only_a), "only_in_theirs": len(only_b),
+        "file_problems": len(problems),
     }))
+    for p in problems[:args.show]:
+        print(f"  PROBLEM {p}", file=sys.stderr)
     for q, va, vb in mism[:args.show]:
         print(f"  MISMATCH qid={q}\n    ours:   {va!r}\n"
               f"    theirs: {vb!r}", file=sys.stderr)
-    sys.exit(0 if not mism and not only_a and not only_b else 1)
+    sys.exit(0 if not mism and not only_a and not only_b and not problems
+             else 1)
 
 
 if __name__ == "__main__":

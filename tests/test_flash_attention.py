@@ -187,3 +187,23 @@ def test_flash_retuned_blocks_long_context():
     np.testing.assert_allclose(np.asarray(got)[0, :lengths[0]],
                                np.asarray(want)[0, :lengths[0]],
                                rtol=2e-3, atol=2e-3)
+
+    # BACKWARD through the retuned tile: the lse residual must cross the
+    # fwd/bwd boundary padding-free — the forward pads Lq=3136 to 3584
+    # with its (512, ...) tile while the backward re-pads with its own
+    # blk_q=256; returning forward-padded lse crashed jax.grad here.
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                            kv_segment_ids=seg)
+        return jnp.where(seg[..., None, None] != 0, o, 0.0).sum()
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, causal=True, q_segment_ids=seg,
+                                kv_segment_ids=seg)
+        return jnp.where(seg[..., None, None] != 0, o, 0.0).sum()
+
+    gp = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)

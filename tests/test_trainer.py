@@ -618,3 +618,25 @@ def test_chunked_loss_matches_plain(vision_model):
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_chunk)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_tower_dtype_per_modal_override():
+    """Vision-tower training keeps fp32 master weights for the TRAINED
+    tower only; frozen towers beside it honor the requested dtype —
+    forcing every tower fp32 doubles frozen-tower HBM (round-5 review)."""
+    import jax.numpy as jnp
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.models.towers import build_modal_encoders
+
+    cfg = tiny_test_config(mm_vision_encoder="test:8x1",
+                           mm_audio_encoder="test:16x2",
+                           mm_hidden_size=8, mm_audio_hidden_size=16)
+    encs = build_modal_encoders(cfg, jax.random.PRNGKey(0),
+                                dtype=jnp.bfloat16,
+                                dtype_per_modal={"vision": jnp.float32})
+    vis = jax.tree.leaves(encs["vision"].params)
+    aud = jax.tree.leaves(encs["audio"].params)
+    assert all(l.dtype == jnp.float32 for l in vis
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    assert any(l.dtype == jnp.bfloat16 for l in aud)
