@@ -47,33 +47,37 @@ def kernel_smoke():
 
     if jax.default_backend() != "tpu":
         return "skipped (not on tpu)"
-    B, L, H, D = 1, 512, 8, 128
-    ks = jax.random.split(jax.random.PRNGKey(7), 3)
-    q = jax.random.normal(ks[0], (B, L, H, D), jnp.bfloat16)
-    k = jax.random.normal(ks[1], (B, L, H, D), jnp.bfloat16)
-    v = jax.random.normal(ks[2], (B, L, H, D), jnp.bfloat16)
-    seg = jnp.ones((B, L), jnp.int32)
+    # Two shapes: the short default tile AND the retuned long-context
+    # tile (_pick_fwd_blocks switches at Lq >= 3072 — the composed 3328
+    # bucket); each block-table branch gets a compiled fwd+bwd check.
+    for L in (512, 3328):
+        B, H, D = 1, (8 if L == 512 else 4), 128
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (B, L, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, L, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, L, H, D), jnp.bfloat16)
+        seg = jnp.ones((B, L), jnp.int32)
 
-    def loss(impl):
-        def f(q, k, v):
-            o = attention(q, k, v, causal=True, q_segment_ids=seg,
-                          kv_segment_ids=seg, impl=impl)
-            return (o.astype(jnp.float32) ** 2).mean()
-        return f
+        def loss(impl):
+            def f(q, k, v):
+                o = attention(q, k, v, causal=True, q_segment_ids=seg,
+                              kv_segment_ids=seg, impl=impl)
+                return (o.astype(jnp.float32) ** 2).mean()
+            return f
 
-    out_p = jax.jit(jax.value_and_grad(loss("pallas"), argnums=(0, 1, 2)))(
-        q, k, v)
-    out_x = jax.jit(jax.value_and_grad(loss("xla"), argnums=(0, 1, 2)))(
-        q, k, v)
-    flat_p = [np.asarray(x, np.float32)
-              for x in jax.tree.leaves(out_p)]
-    flat_x = [np.asarray(x, np.float32)
-              for x in jax.tree.leaves(out_x)]
-    for a, b in zip(flat_p, flat_x):
-        denom = max(float(np.abs(b).max()), 1e-6)
-        rel = float(np.abs(a - b).max()) / denom
-        if rel > 2e-2:  # bf16 inputs; kernel accumulates fp32
-            return f"FAIL rel={rel:.3g}"
+        out_p = jax.jit(jax.value_and_grad(loss("pallas"),
+                                           argnums=(0, 1, 2)))(q, k, v)
+        out_x = jax.jit(jax.value_and_grad(loss("xla"),
+                                           argnums=(0, 1, 2)))(q, k, v)
+        flat_p = [np.asarray(x, np.float32)
+                  for x in jax.tree.leaves(out_p)]
+        flat_x = [np.asarray(x, np.float32)
+                  for x in jax.tree.leaves(out_x)]
+        for a, b in zip(flat_p, flat_x):
+            denom = max(float(np.abs(b).max()), 1e-6)
+            rel = float(np.abs(a - b).max()) / denom
+            if rel > 2e-2:  # bf16 inputs; kernel accumulates fp32
+                return f"FAIL L={L} rel={rel:.3g}"
     return "ok"
 
 
