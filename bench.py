@@ -382,5 +382,31 @@ def main():
     print(json.dumps(result))
 
 
+def _start_watchdog():
+    """A wedged axon relay hangs even jax.devices() indefinitely (observed
+    round 5: >3 h).  Rather than hang the driver forever, emit a
+    parseable error JSON line and exit after MC_BENCH_WATCHDOG_S seconds
+    (default 150 min — generous against a cold-cache compile ladder,
+    finite against a dead relay).  MC_BENCH_WATCHDOG_S=0 disables."""
+    import threading
+
+    limit = float(os.environ.get("MC_BENCH_WATCHDOG_S", "9000"))
+    if limit <= 0:
+        return
+
+    def fire():
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip", "value": 0,
+            "unit": "tokens/s", "vs_baseline": None,
+            "error": f"watchdog: bench exceeded {limit:.0f}s — "
+                     "TPU relay unreachable or wedged"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _start_watchdog()
     main()
