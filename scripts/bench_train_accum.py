@@ -142,6 +142,48 @@ def run_gradonly_probe(name, cfg, B, L, steps=4):
     return res
 
 
+def run_aot_peak(name, cfg, B, L):
+    """AOT memory analysis only (no execution, no HBM): round-4's b8
+    failed on a transient compile 500, but the b4 analysis already shows
+    17.6 GB implied peak on a 15.75 GB chip — b8 is structurally out.
+    Record XLA's own number instead of burning chip time on a known OOM
+    (one OOM also wedges the relay for ~10 min, poisoning the queue)."""
+    import jax
+    import jax.numpy as jnp
+    from modelcompose_tpu.core.llama import init_params
+    from modelcompose_tpu.models.projectors import init_projector
+    from modelcompose_tpu.ops.quant import quantize_backbone
+    from modelcompose_tpu.train.trainer import (TrainConfig,
+                                                init_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+    backbone_s = jax.eval_shape(lambda: quantize_backbone(
+        init_params(cfg, jax.random.PRNGKey(0)), quantize_lm_head=True))
+    proj_s = {"vision": jax.eval_shape(lambda: init_projector(
+        "mlp2x_gelu", jax.random.PRNGKey(1), cfg.mm_hidden_size,
+        cfg.hidden_size, dtype=jnp.bfloat16))}
+    tc = TrainConfig(learning_rate=2e-4, mm_projector_lr=2e-5,
+                     mm_language_lr=1e-5, warmup_ratio=0.03,
+                     total_steps=1000, adam_mu_dtype="bfloat16",
+                     loss_chunk=256)
+    state_s = jax.eval_shape(lambda b, p: init_train_state(cfg, tc, b, p),
+                             backbone_s, proj_s)
+    tx, _ = make_optimizer(cfg, tc, state_s.params)
+    step = make_train_step(cfg, tc, tx)
+    batch, layout = bench_train.make_batch(
+        cfg, B, L, 576 + cfg.local_prefix_tokens + cfg.local_suffix_tokens)
+    batch_s = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch)
+    c = step.lower(state_s, batch_s, layout).compile()
+    m = c.memory_analysis()
+    gb = {k: round(getattr(m, k + "_size_in_bytes") / 2**30, 2)
+          for k in ("argument", "output", "temp", "alias")}
+    peak = round(gb["argument"] + gb["temp"] + gb["output"] - gb["alias"], 2)
+    return {"variant": name, "batch": B, "seq": L, "aot_only": True,
+            "gb": gb, "implied_peak_gb": peak,
+            "fits_15.75": peak <= 15.75}
+
+
 def main():
     bench_train._enable_compile_cache()
     import jax
@@ -163,9 +205,7 @@ def main():
                    dict(B=2, L=2048, accum=4)),
         "accum16": ("accum", "stage2-int8-b2-accum16",
                     dict(B=2, L=2048, accum=16)),
-        "b8": ("full", "stage2-int8-b8-retry",
-               dict(B=8, L=2048, int8_base=True, mu_dtype="bfloat16",
-                    stage1=False)),
+        "b8": ("aot", "stage2-int8-b8-retry", dict(B=8, L=2048)),
         "gradonly-b2": ("gradonly", "gradonly-b2", dict(B=2, L=2048)),
         "gradonly-b4": ("gradonly", "gradonly-b4", dict(B=4, L=2048)),
     }
@@ -188,6 +228,8 @@ def main():
                 res = run_accum_variant(name, cfg, **kw)
             elif kind == "gradonly":
                 res = run_gradonly_probe(name, cfg, **kw)
+            elif kind == "aot":
+                res = run_aot_peak(name, cfg, **kw)
             else:
                 res = bench_train.run_variant(name, cfg, kw.pop("B"),
                                               kw.pop("L"), **kw)
