@@ -640,3 +640,48 @@ def test_tower_dtype_per_modal_override():
     assert all(l.dtype == jnp.float32 for l in vis
                if jnp.issubdtype(l.dtype, jnp.floating))
     assert any(l.dtype == jnp.bfloat16 for l in aud)
+
+
+@pytest.mark.slow
+def test_sharded_grad_accumulation_on_mesh(vision_model):
+    """The fused accumulation micro-step (grad_accum_fn) under a DP x TP
+    mesh: GSPMD infers shardings from the donated running total, and the
+    accumulated gradients match the unsharded accumulation bit-for-near
+    (the entry's multi-chip effective-batch path; the dryrun gates only
+    cover make_train_step)."""
+    from modelcompose_tpu.train.trainer import make_grad_and_apply
+
+    model = vision_model
+    tc = TrainConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0)
+    batch, layout = _make_batch(model, B=4)
+
+    # unsharded oracle
+    state_u = init_train_state(model.cfg, tc, model.params,
+                               model.projectors)
+    tx_u, _ = make_optimizer(model.cfg, tc, state_u.params)
+    g_u, _, _, ga_u = make_grad_and_apply(model.cfg, tc, tx_u,
+                                          attn_impl="xla", donate=False)
+    _, tot_u = g_u(state_u.params, batch, layout)
+    _, tot_u = ga_u(state_u.params, tot_u, batch, layout)
+
+    mesh = make_mesh(data=4, model=2)
+    params = shard_params(model.params, mesh)
+    state = init_train_state(model.cfg, tc, params, model.projectors)
+    tx, _ = make_optimizer(model.cfg, tc, state.params)
+    grad_fn, apply_fn, _, grad_accum_fn = make_grad_and_apply(
+        model.cfg, tc, tx, attn_impl="xla", donate=False)
+    bs = batch_sharding(mesh)
+    sb = {k: (jax.device_put(v, bs) if k != "encoder_features" else
+              {m: jax.device_put(f, bs) for m, f in v.items()})
+          for k, v in batch.items()}
+    with mesh:
+        loss1, total = grad_fn(state.params, sb, layout)
+        loss2, total = grad_accum_fn(state.params, total, sb, layout)
+        state2 = apply_fn(state, total)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert int(state2.step) == 1
+    for a, b in zip(jax.tree.leaves(tot_u), jax.tree.leaves(total)):
+        if a.size == 0:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
