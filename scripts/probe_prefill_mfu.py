@@ -128,10 +128,15 @@ def probe_flash_blocks():
     flops = 2 * 2 * (L * L // 2) * D * NH  # causal QK^T + PV
     out = {"probe": "flash_blocks", "L": L, "heads": NH}
     results = {}
-    for blk_q, blk_k in [(256, 512), (512, 512), (256, 1024), (512, 1024),
-                         (128, 512), (256, 256), (512, 2048),
-                         (1024, 1024), (1024, 512), (768, 1024),
-                         (512, 1536)]:
+    cand = os.environ.get("MC_PROBE_BLOCKS", "")
+    if cand:
+        pairs = [tuple(int(x) for x in c.split("x"))
+                 for c in cand.split(",") if c]
+    else:
+        pairs = [(256, 512), (512, 512), (256, 1024), (512, 1024),
+                 (128, 512), (256, 256), (512, 2048),
+                 (1024, 1024), (1024, 512), (768, 1024), (512, 1536)]
+    for blk_q, blk_k in pairs:
         fn = jax.jit(functools.partial(
             _flash_attention_forward, sm_scale=D ** -0.5, causal=True,
             q_offset=0, blk_q=blk_q, blk_k=blk_k))
