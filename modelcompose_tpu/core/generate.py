@@ -143,6 +143,12 @@ def _decode_loop(params, cfg: ModelConfig, cache, first_logits, kv_lens,
     eos = jnp.asarray(eos_id, jnp.int32)
 
     def pick(logits, key):
+        # Deliberately NOT sampling.sample_logits: that entry pays the
+        # [B, V] top-p sort unconditionally, while the static use_top_p /
+        # do_sample switches keep the greedy eval program (the headline
+        # decode bench) free of it.  The top-p math itself is shared
+        # (top_p_filter); keep any semantics change in sync with
+        # core/sampling.py.
         if do_sample:
             scaled = logits / temperature
             if use_top_p:
@@ -240,18 +246,21 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
                              routing_table, segment_ids, lengths, cache_len,
                              attn_impl, kv_quant)
 
+    if fold_decode in (True, "concat") and routing_table is not None:
+        # Compact the default-route adapters into one low-rank pair so
+        # the step stops streaming inactive adapter rows from HBM —
+        # but the folded copies stay resident NEXT TO the full params,
+        # which can exceed HBM at 7B; 'dense' is the zero-residency fold.
+        # (Applies to BOTH decode loops: the host loop used to ignore it
+        # and stream every stacked adapter times an all-zero route row.)
+        from ..ops.routed_lora import fold_decode_adapters
+        decode_params, decode_table = fold_decode_adapters(
+            params, np.asarray(routing_table)[0])
+
     if device_loop:
         # One compiled program for the whole decode; a single host sync.
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        if fold_decode in (True, "concat") and routing_table is not None:
-            # Compact the default-route adapters into one low-rank pair so
-            # the step stops streaming inactive adapter rows from HBM —
-            # but the folded copies stay resident NEXT TO the full params,
-            # which can exceed HBM at 7B; 'dense' is the zero-residency fold.
-            from ..ops.routed_lora import fold_decode_adapters
-            decode_params, decode_table = fold_decode_adapters(
-                params, np.asarray(routing_table)[0])
         do_sample = bool(temperature and temperature > 0.0)
         use_top_p = bool(do_sample and top_p is not None and top_p < 1.0)
         tokens, _ = _decode_loop(
@@ -275,13 +284,14 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
     done = np.zeros(B, dtype=bool)
     for step in range(max_new_tokens):
         if temperature and temperature > 0.0:
+            # delegate to the ONE sampling implementation (core/sampling —
+            # HF-exact top-p, reference greedy gate) rather than keeping
+            # a third copy of the temperature/top-p pipeline here
+            from .sampling import sample_step
             rng, sub = jax.random.split(rng)
-            scaled = logits / temperature
-            if top_p is not None and top_p < 1.0:
-                from .sampling import top_p_filter
-                scaled = top_p_filter(scaled.astype(jnp.float32),
-                                      jnp.float32(top_p))
-            tokens = jax.random.categorical(sub, scaled, axis=-1)
+            tokens = sample_step(
+                sub, logits, jnp.float32(temperature),
+                jnp.float32(1.0 if top_p is None else top_p))
         else:
             tokens = jnp.argmax(logits, axis=-1)
         tokens = tokens.astype(jnp.int32)
@@ -296,6 +306,6 @@ def generate(params, cfg: ModelConfig, inputs_embeds, *, lengths,
             break
         if step == max_new_tokens - 1:
             break
-        logits, cache, kv_lens = _decode_step(params, cfg, cache, tokens,
-                                              kv_lens, routing_table)
+        logits, cache, kv_lens = _decode_step(decode_params, cfg, cache,
+                                              tokens, kv_lens, decode_table)
     return outputs

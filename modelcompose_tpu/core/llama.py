@@ -41,7 +41,12 @@ Params = Dict[str, Any]
 
 def _init_lora(rng, n_layers, n_adapters, d_in, d_out, r, dtype):
     """LoRA init: A ~ kaiming-uniform(a=sqrt(5)) as in peft, B = 0."""
-    bound = float(np.sqrt(6.0 / d_in))  # kaiming_uniform with a=sqrt(5)
+    # kaiming_uniform(a=sqrt(5)) as peft initializes lora_A:
+    # gain = sqrt(2/(1+5)) = sqrt(1/3); bound = gain*sqrt(3/fan_in)
+    # = 1/sqrt(d_in).  (sqrt(6/d_in) is the a=0 formula — 2.45x too
+    # wide; B=0 hides it in the forward but dL/dB scales with A, so
+    # early adapter updates diverge from a peft run.)
+    bound = float(np.sqrt(1.0 / d_in))
     # sampled directly in ``dtype`` — an fp32 stacked-leaf transient is
     # 5.8 GB at 7B and random init must fit next to the resident tree
     a = jax.random.uniform(rng, (n_layers, n_adapters, d_in, r),
@@ -157,12 +162,13 @@ class KVCache:
 
 
 def quantize_kv(val: jax.Array):
-    """[..., D] -> {'q': int8, 'scale': [..., 1]} per-vector symmetric."""
-    vf = val.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale}
+    """[..., D] -> {'q': int8, 'scale': [..., 1]} per-vector symmetric —
+    the same scheme as weight quantization, over the vector axis (ONE
+    implementation: a drifting scale floor or clip range between the
+    weight and KV paths would silently mismatch)."""
+    from ..ops.quant import quantize_int8
+
+    return quantize_int8(val, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +384,12 @@ def forward_hidden(params: Params, cfg: ModelConfig, inputs_embeds, *,
 def logits_from_hidden(params: Params, hidden) -> jax.Array:
     from ..ops.quant import dequant_matmul, is_quantized
     if is_quantized(params["lm_head"]):
-        return dequant_matmul(hidden, params["lm_head"]).astype(jnp.float32)
+        # out_dtype=fp32 keeps the fp32 accumulation end-to-end: the old
+        # .astype(jnp.float32) AFTER dequant_matmul rounded every logit
+        # through bf16 first (~0.4% mantissa), which can flip near-tied
+        # argmax/beam decisions for reasons unrelated to int8 error
+        return dequant_matmul(hidden, params["lm_head"],
+                              out_dtype=jnp.float32)
     return jnp.einsum("blh,hv->blv", hidden, params["lm_head"],
                       preferred_element_type=jnp.float32)
 

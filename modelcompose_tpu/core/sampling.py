@@ -23,7 +23,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-GREEDY_TEMP = 1e-4
+# the reference worker's gate is do_sample = temperature > 0.001
+# (model_worker.py) — rows at or below this sample greedily
+GREEDY_TEMP = 1e-3
 
 
 def entropy_seed() -> int:

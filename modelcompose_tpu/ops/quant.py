@@ -30,15 +30,17 @@ def quantize_int8(w: jnp.ndarray, axis: int = -2) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def dequant_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]
-                   ) -> jnp.ndarray:
+def dequant_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
+                   out_dtype=None) -> jnp.ndarray:
     """y = x @ dequant(wq).  The convert lives inside the contraction so
     the int8 tensor is what streams from HBM; the per-column scale is an
-    epilogue multiply."""
+    epilogue multiply.  ``out_dtype`` keeps the fp32 accumulation when
+    the consumer wants fp32 (the lm_head logits contract) — defaulting
+    through x.dtype would round every logit through bf16 first."""
     y = jnp.einsum("...i,...io->...o", x,
                    wq["q"].astype(x.dtype),
                    preferred_element_type=jnp.float32)
-    return (y * wq["scale"][..., 0, :]).astype(x.dtype)
+    return (y * wq["scale"][..., 0, :]).astype(out_dtype or x.dtype)
 
 
 def is_quantized(w) -> bool:

@@ -108,6 +108,13 @@ def test_device_loop_matches_host_loop(tiny_vision_model):
     host = gen.generate(model.params, model.cfg, embeds, device_loop=False,
                         **kwargs)
     assert dev == host, (dev, host)
+    # the concat decode fold must hold on BOTH loops (the host loop used
+    # to silently ignore it and stream unfolded adapters)
+    dev_f = gen.generate(model.params, model.cfg, embeds, device_loop=True,
+                         fold_decode="concat", **kwargs)
+    host_f = gen.generate(model.params, model.cfg, embeds,
+                          device_loop=False, fold_decode="concat", **kwargs)
+    assert dev_f == dev and host_f == dev, (dev, dev_f, host_f)
 
 
 def test_fold_decode_generate_equivalence(tiny_vision_model):
