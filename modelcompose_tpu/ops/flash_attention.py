@@ -31,9 +31,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import attention_reference
-
 NEG_INF = -1e30
+
+
+def _causal_skip(q_start: int, k_start: int, blk_q: int, causal: bool):
+    """Whole kv block in the future for every q row -> skip the block."""
+    if not causal:
+        return True
+    return q_start + blk_q - 1 >= k_start
+
+
+def _block_mask(qseg, kvseg, q_start, k_start, blk_q, blk_k, causal):
+    """[blk_q, blk_k] validity mask — segment match, kv-padding (seg 0),
+    and the causal triangle.  ONE implementation shared by the forward
+    and both backward kernels: this is the correctness-critical masking
+    logic, and a semantics change applied to one copy but not the others
+    would silently break fwd/bwd parity."""
+    mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
+    if causal:
+        rows = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_k), 0)
+        cols = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (blk_q, blk_k), 1)
+        mask &= rows >= cols
+    return mask
+
+
 LANES = 128
 
 
@@ -77,9 +100,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
 
     q_start = q_offset + iq * blk_q
     k_start = ik * blk_k
-    run_block = True
-    if causal:  # whole kv block in the future for every q row -> skip
-        run_block = q_start + blk_q - 1 >= k_start
+    run_block = _causal_skip(q_start, k_start, blk_q, causal)
 
     @pl.when(run_block)
     def _compute():
@@ -89,15 +110,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
 
-        qseg = qseg_ref[0, 0]
-        kvseg = kvseg_ref[0, 0]
-        mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 0)
-            cols = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 1)
-            mask &= rows >= cols
+        mask = _block_mask(qseg_ref[0, 0], kvseg_ref[0, 0], q_start,
+                           k_start, blk_q, blk_k, causal)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, 0][:, None]
@@ -235,9 +249,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
     q_start = q_offset + iq * blk_q
     k_start = ik * blk_k
-    run_block = True
-    if causal:
-        run_block = q_start + blk_q - 1 >= k_start
+    run_block = _causal_skip(q_start, k_start, blk_q, causal)
 
     @pl.when(run_block)
     def _compute():
@@ -250,15 +262,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        qseg = qseg_ref[0, 0]
-        kvseg = kvseg_ref[0, 0]
-        mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 0)
-            cols = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 1)
-            mask &= rows >= cols
+        mask = _block_mask(qseg_ref[0, 0], kvseg_ref[0, 0], q_start,
+                           k_start, blk_q, blk_k, causal)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -286,9 +291,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
     q_start = q_offset + iq * blk_q
     k_start = ik * blk_k
-    run_block = True
-    if causal:
-        run_block = q_start + blk_q - 1 >= k_start
+    run_block = _causal_skip(q_start, k_start, blk_q, causal)
 
     @pl.when(run_block)
     def _compute():
@@ -301,15 +304,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        qseg = qseg_ref[0, 0]
-        kvseg = kvseg_ref[0, 0]
-        mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 0)
-            cols = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_q, blk_k), 1)
-            mask &= rows >= cols
+        mask = _block_mask(qseg_ref[0, 0], kvseg_ref[0, 0], q_start,
+                           k_start, blk_q, blk_k, causal)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)   # [blk_q, blk_k]
         dv_scr[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -466,23 +462,6 @@ def _fa_bwd(sm_scale, causal, q_offset, residuals, g):
 
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)
-
-
-def flash_attention_reference_bwd(q, k, v, *, causal, q_segment_ids,
-                                  kv_segment_ids, q_offset=0, sm_scale=None):
-    """XLA-recompute fallback (kept for A/B testing the pallas backward)."""
-    if sm_scale is None:
-        sm_scale = q.shape[-1] ** -0.5
-
-    def ref(q_, k_, v_):
-        o = attention_reference(
-            q_.swapaxes(1, 2), k_.swapaxes(1, 2), v_.swapaxes(1, 2),
-            causal=causal, q_segment_ids=q_segment_ids,
-            kv_segment_ids=kv_segment_ids, q_offset=q_offset,
-            sm_scale=sm_scale)
-        return o.swapaxes(1, 2)
-
-    return ref
 
 
 def flash_attention(q, k, v, *, causal: bool = True, q_segment_ids=None,

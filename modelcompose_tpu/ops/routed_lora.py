@@ -40,7 +40,11 @@ def routed_lora_matmul(x, w, lora_a, lora_b, route):
     """
     from .quant import dequant_matmul, is_quantized
     if is_quantized(w):
-        y = dequant_matmul(x, w).astype(jnp.float32)
+        # out_dtype keeps the fp32 accumulation for the adapter add —
+        # rounding through x.dtype (bf16) first would make the quantized
+        # base branch lose mantissa the dense branch keeps (same
+        # double-rounding as the lm_head fix in core/llama.py)
+        y = dequant_matmul(x, w, out_dtype=jnp.float32)
     else:
         y = jnp.einsum("...i,io->...o", x, w,
                        preferred_element_type=jnp.float32)
