@@ -77,11 +77,13 @@ def main():
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
         ids = np.asarray(tokenizer_modal_token(prompt, tokenizer), np.int64)
+        # modal_inputs go in EVERY turn: the conversation history keeps
+        # the modal token, so each re-packed prompt needs the features
         tokens = model.generate(
-            [ids], modal_inputs if first_turn or True else {},
+            [ids], modal_inputs,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature if args.temperature > 1e-4 else 0.0,
-            top_p=getattr(args, "top_p", 1.0),
+            top_p=args.top_p,
             rng=rng)[0]
         text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
         stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2

@@ -21,7 +21,7 @@ import time
 from typing import Dict, List
 
 import numpy as np
-from aiohttp import ClientSession, web
+from aiohttp import ClientSession, ClientTimeout, web
 
 from ..constants import CONTROLLER_HEART_BEAT_EXPIRATION
 from ..utils.logging import build_logger
@@ -144,11 +144,23 @@ def build_app(controller: Controller) -> web.Application:
                 {"text": "No available worker", "error_code": 2}
             ).encode() + b"\0")
             return resp
-        async with ClientSession() as session:
-            async with session.post(addr + "/worker_generate_stream",
-                                    json=data) as upstream:
-                async for chunk in upstream.content.iter_any():
-                    await resp.write(chunk)
+        try:
+            # no total deadline (aiohttp defaults to 5 min, which would
+            # kill long generations mid-stream); keep a connect timeout
+            # so a dead worker fails fast
+            timeout = ClientTimeout(total=None, sock_connect=10)
+            async with ClientSession(timeout=timeout) as session:
+                async with session.post(addr + "/worker_generate_stream",
+                                        json=data) as upstream:
+                    async for chunk in upstream.content.iter_any():
+                        await resp.write(chunk)
+        except Exception as e:  # noqa: BLE001 — worker died mid-stream
+            # terminal in-band error chunk (reference controller
+            # semantics): the client must not see a silently truncated
+            # stream rendered as a complete answer
+            await resp.write(json.dumps(
+                {"text": f"worker stream error: {e}", "error_code": 1}
+            ).encode() + b"\0")
         return resp
 
     async def heartbeat_sweeper(app):

@@ -14,6 +14,7 @@ Usage: python -m modelcompose_tpu.serve.demo_app --model-path merged \
 from __future__ import annotations
 
 import argparse
+import html
 import io
 import tempfile
 
@@ -107,7 +108,9 @@ class DemoApp:
         stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
         if stop and text.endswith(stop):
             text = text[:-len(stop)]
-        return web.Response(text=PAGE.format(answer=text.strip()),
+        # escape model output before HTML interpolation (XSS)
+        return web.Response(text=PAGE.format(
+            answer=html.escape(text.strip())),
                             content_type="text/html")
 
 

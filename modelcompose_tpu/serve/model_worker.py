@@ -2,7 +2,8 @@
 
 Rebuild of the reference's worker (reference: modelcompose/serve/
 model_worker.py:37-243) on aiohttp: registration + 15 s heartbeats
-(reference: constants.py:2), a semaphore concurrency limit, and
+(reference: constants.py:2), a concurrency cap (the engine's
+max_batch/max_slots plays the reference semaphore's role), and
 ``/worker_generate_stream`` producing b"\\0"-delimited JSON chunks.  Unlike
 the reference — whose worker only wires the image path
 (``is_multimodal = 'llava' in name``, reference: model_worker.py:67) — this
@@ -35,8 +36,6 @@ from ..data.tokenization import tokenizer_modal_token
 from ..utils.logging import build_logger
 
 logger = build_logger("model_worker", "model_worker.log")
-
-GB = 1 << 30
 
 
 class BatchingEngine:
@@ -108,8 +107,8 @@ class ModelWorker:
         self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
         (self.tokenizer, self.model, self.modal_processors,
          self.context_len) = loader(model_path, model_base, self.model_name)
-        self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
+        self._queue_lock = threading.Lock()
         if prefill_chunk and not continuous_batching:
             logger.warning("--prefill-chunk has no effect without "
                            "--continuous-batching")
@@ -144,10 +143,16 @@ class ModelWorker:
         while True:
             time.sleep(WORKER_HEART_BEAT_INTERVAL)
             try:
-                requests.post(self.controller_addr + "/receive_heart_beat",
-                              json={"worker_name": self.worker_addr,
-                                    "queue_length": self.queue_length},
-                              timeout=5)
+                r = requests.post(
+                    self.controller_addr + "/receive_heart_beat",
+                    json={"worker_name": self.worker_addr,
+                          "queue_length": self.queue_length},
+                    timeout=5)
+                # controller restarted / swept this worker as stale:
+                # re-register or the model disappears from dispatch
+                # forever (reference: model_worker.py:99-106)
+                if not r.json().get("exist", True):
+                    self.register_to_controller()
             except Exception as e:
                 logger.error(f"heart beat error: {e}")
 
@@ -235,7 +240,9 @@ class ModelWorker:
         self.model.generate_stream(
             ids_rows, merged, max_new_tokens=max_new, temperatures=temps,
             top_ps=top_ps, emit=emit,
-            rng_seed=int(time.time() * 1e3) % (1 << 31),
+            rng_seed=None,  # generate_stream resolves via entropy_seed()
+            # — wall-clock ms collides for micro-batches dispatched in
+            # the same millisecond and would replay identical samples
             cancelled=cancelled)
 
     def generate_stream(self, params: dict, cancel=None):
@@ -258,7 +265,8 @@ class ModelWorker:
         cancel = threading.Event() if cancel is None else cancel
         params = dict(params)
         params["_cancel"] = cancel
-        self.queue_length += 1
+        with self._queue_lock:
+            self.queue_length += 1
         try:
             events = self.engine.submit(params)
             tokens: list = []
@@ -289,7 +297,8 @@ class ModelWorker:
         finally:
             # stop hit / disconnect / error / normal end: release the row
             cancel.set()
-            self.queue_length -= 1
+            with self._queue_lock:
+                self.queue_length -= 1
         if not tokens:  # empty generation still answers the request
             yield json.dumps({"text": prompt,
                               "error_code": 0}).encode() + b"\0"

@@ -267,8 +267,13 @@ class ContinuousBatchingEngine:
                 # surface to every in-flight request and keep the
                 # scheduler alive (a dead daemon thread would hang every
                 # future submit; BatchingEngine has the same guard)
-                for st in self._slots.values():
+                for slot, st in self._slots.items():
                     st["events"].put(("error", e))
+                    # release the decoder row too: clearing _slots alone
+                    # leaves active=True, so the phantom row's kv_len
+                    # keeps advancing every tick (RoPE position /
+                    # attention span grow unbounded until readmission)
+                    self.decoder.release(slot)
                 self._slots.clear()
 
     def _tick(self) -> None:
@@ -279,8 +284,9 @@ class ContinuousBatchingEngine:
         try:
             self._advance_slots()
         except Exception as e:  # noqa: BLE001 — device/XLA errors
-            for st in self._slots.values():
+            for slot, st in self._slots.items():
                 st["events"].put(("error", e))
+                self.decoder.release(slot)  # see _loop: avoid phantom rows
             self._slots.clear()
 
     def _advance_slots(self) -> None:

@@ -42,7 +42,7 @@ def main():
     response = requests.post(worker_addr + "/worker_generate_stream",
                              headers=headers, json=payload, stream=True)
     print(f"{args.message}", end="")
-    for chunk in response.iter_lines(decoder_unicode=False,
+    for chunk in response.iter_lines(decode_unicode=False,
                                      delimiter=b"\0"):
         if chunk:
             data = json.loads(chunk.decode())

@@ -12,6 +12,7 @@ Usage: python -m modelcompose_tpu.serve.web_server \
 from __future__ import annotations
 
 import argparse
+import html
 import json
 
 from aiohttp import ClientSession, web
@@ -46,7 +47,8 @@ class WebServer:
 
     async def handle_index(self, request):
         models = await self.list_models()
-        options = "".join(f"<option>{m}</option>" for m in models)
+        options = "".join(
+            f"<option>{html.escape(m)}</option>" for m in models)
         return web.Response(text=PAGE.format(options=options, answer=""),
                             content_type="text/html")
 
@@ -86,8 +88,13 @@ class WebServer:
                     if part:
                         answer = json.loads(part).get("text", answer)
         models = await self.list_models()
-        options = "".join(f"<option>{m}</option>" for m in models)
-        return web.Response(text=PAGE.format(options=options, answer=answer),
+        options = "".join(
+            f"<option>{html.escape(m)}</option>" for m in models)
+        # escape model output before HTML interpolation: a generation
+        # containing </pre><script>... would otherwise execute in the
+        # chat origin (reflected XSS) or garble the transcript
+        return web.Response(text=PAGE.format(options=options,
+                                             answer=html.escape(answer)),
                             content_type="text/html")
 
 
