@@ -192,3 +192,24 @@ class BeatsAudioProcessor:
             out_f[i, :f.shape[0]] = f
             out_m[i, :m.shape[0]] = m
         return out_f, out_m
+
+
+def collate_audio_inputs(proc, items):
+    """Normalize the two audio-processor protocols for the collate/serve
+    paths (reference splits the same way: multimodal_arch.py:211-235 —
+    ImageBind audio is stacked clips fed straight to the encoder, BEATs
+    is (fbank, padding_mask) kwargs):
+
+    - BEATs-style processors return ``(features, padding_mask)`` ->
+      encode kwargs dict;
+    - ImageBind-style processors return one stacked array -> passed as
+      the positional encoder input.
+
+    ``MultimodalLM.encode_modal_inputs`` dispatches on dict-vs-array, so
+    this is the ONLY place the protocol split needs to live host-side.
+    """
+    out = proc(items)
+    if isinstance(out, tuple):
+        feats, mask = out
+        return {"audio_inputs": feats, "audio_padding_mask": mask}
+    return np.asarray(out)

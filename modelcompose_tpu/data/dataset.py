@@ -147,9 +147,8 @@ class DataCollatorForSupervisedDataset:
                     items, proc,
                     image_aspect_ratio=cfg.get("image_aspect_ratio"))
             elif modal == "audio":
-                feats, mask = proc(items)
-                results[modal] = {"audio_inputs": feats,
-                                  "audio_padding_mask": mask}
+                from .audio_processing import collate_audio_inputs
+                results[modal] = collate_audio_inputs(proc, items)
             elif modal == "video":
                 clips = [proc(p) if isinstance(p, str) else p for p in items]
                 results[modal] = np.concatenate(

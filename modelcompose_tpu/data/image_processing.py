@@ -30,7 +30,10 @@ class ClipImageProcessor:
         w, h = img.size
         short, long = (w, h) if w <= h else (h, w)
         new_short = self.size
-        new_long = int(round(long * new_short / short))
+        # HF get_resize_output_image_size TRUNCATES the long side
+        # (int(new_short * long / short), not round) — e.g. 640x427 ->
+        # 503, where round() gives 504 and shifts the center crop a pixel
+        new_long = int(long * new_short / short)
         nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
         return img.resize((nw, nh), Image.BICUBIC)
 

@@ -260,12 +260,16 @@ class ImageBindAudioProcessor:
         self.cfg = cfg or ImageBindAudioConfig()
 
     def _clip_starts(self, duration: float):
-        """ConstantClipsPerVideoSampler semantics: clips_per_audio starts
-        uniformly spaced over [0, duration - clip_duration]."""
+        """pytorchvideo ConstantClipsPerVideoSampler semantics (the
+        reference's sampler, ImageBind data.py:129): start_i =
+        i * (duration - clip_duration) / clips_per_video — the divisor is
+        clips_per_video, NOT clips-1 (endpoint-inclusive spacing sampled
+        different waveform segments: 0/4/8 s instead of 0/2.67/5.33 s on
+        a 10 s clip)."""
         c = self.cfg
         span = max(duration - c.clip_duration, 0.0)
-        denom = max(c.clips_per_audio - 1, 1)
-        return [span * i / denom for i in range(c.clips_per_audio)]
+        return [span * i / c.clips_per_audio
+                for i in range(c.clips_per_audio)]
 
     def process_one(self, waveform: np.ndarray) -> np.ndarray:
         from ..data.audio_processing import kaldi_fbank

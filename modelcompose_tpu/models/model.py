@@ -92,6 +92,11 @@ class MultimodalLM:
             if modal == "audio":
                 out = enc.encode(**raw) if isinstance(raw, dict) \
                     else enc.encode(raw)
+                # BEATs returns (features, frame-validity); the reference
+                # DISCARDS the mask too — `features, _ = encoder(...)`,
+                # multimodal_arch.py:234 (the masked call is commented
+                # out there) — so batch-pad frames flowing into the
+                # projector is parity, not a bug
                 x = out[0] if isinstance(out, tuple) else out
             elif modal == "video":
                 x = enc.encode(raw)  # [b, t, n, d]

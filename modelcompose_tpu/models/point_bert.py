@@ -337,6 +337,11 @@ class PointCloudProcessor:
 
     @staticmethod
     def pc_norm(pc: np.ndarray) -> np.ndarray:
+        """Unit-sphere normalization.  NOT applied in the data path — the
+        reference's processor also just loads + stacks (point_encoder.py:
+        88-99; its pc_norm at :101 is equally uncalled) because the
+        released 8192_npy clouds are pre-normalized.  Kept as the same
+        user-facing utility for raw clouds."""
         xyz, rest = pc[:, :3], pc[:, 3:]
         xyz = xyz - xyz.mean(axis=0)
         m = np.sqrt((xyz ** 2).sum(axis=1)).max()

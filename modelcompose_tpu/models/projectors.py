@@ -165,6 +165,15 @@ def apply_projector(spec: str, params: Dict[str, Any], x) -> jnp.ndarray:
         return y
     # qformer (reference: builder.py:130-155)
     B, T, _ = x.shape
+    n_pos = params["position_embedding"].shape[0]
+    if T > n_pos:
+        # the reference's nn.Embedding(num_positions) raises an index
+        # error at the same point (builder.py:128-139) — same hard limit,
+        # clearer message (e.g. >20.5 s BEATs audio = >1024 tokens)
+        raise ValueError(
+            f"qformer input has {T} tokens but the position table holds "
+            f"{n_pos} (reference VideoLlamaAudioQformer limit); clip the "
+            "input")
     x = x + params["position_embedding"][:T][None, :, :]
     q = jnp.broadcast_to(params["query_tokens"][None],
                          (B,) + params["query_tokens"].shape)

@@ -50,9 +50,12 @@ class ClipVisionTower:
         elif "LanguageBind_Image" in spec:
             # alternate image tower: LanguageBind image CLIP, ViT-L/14-224,
             # 256 patch tokens (reference: multimodal_encoder/
-            # builder.py:81-82, languagebind/__init__.py:94-176)
+            # builder.py:81-82, languagebind/__init__.py:94-176).
+            # LanguageBind weights are OpenCLIP-derived exact-GELU (their
+            # released config.json, same as the video tower) — NOT the
+            # openai quick_gelu this class defaults to.
             self.cfg = ClipVisionConfig(
-                image_size=224,
+                image_size=224, hidden_act="gelu",
                 select_layer=model_cfg.mm_vision_select_layer,
                 select_feature=model_cfg.mm_vision_select_feature)
         else:
@@ -135,6 +138,18 @@ def build_modal_encoders(cfg: ModelConfig, rng=None, dtype=None,
         mdt = (dtype_per_modal or {}).get(modal, dtype)
         kw = {} if mdt is None else {"dtype": mdt}
         spec = cfg.encoder_spec(modal)
+        if isinstance(spec, str) and "test" not in spec \
+                and not os.path.isdir(spec):
+            # Composed checkpoints store HF hub ids (e.g. 'openai/
+            # clip-vit-large-patch14-336'); this zero-egress build can't
+            # download, so the tower falls back to RANDOM init — loud
+            # warning, or serving silently returns garbage answers.
+            import warnings
+            warnings.warn(
+                f"{modal} encoder spec {spec!r} is not a local directory "
+                "— tower weights will be RANDOM-initialized.  Download "
+                "the encoder and point the spec at its local path.",
+                stacklevel=2)
         rng, sub = jax.random.split(rng)
         if modal == "vision":
             if "eva" in spec.lower():

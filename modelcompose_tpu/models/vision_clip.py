@@ -35,6 +35,11 @@ class ClipVisionConfig:
     layer_norm_eps: float = 1e-5
     select_layer: int = -2
     select_feature: str = "patch"
+    # openai CLIP checkpoints use quick_gelu; LanguageBind image weights
+    # are OpenCLIP-derived exact-GELU (their released config.json says
+    # "gelu", like the video tower) — reference runs whatever the
+    # checkpoint config says (languagebind/image/configuration_image.py)
+    hidden_act: str = "quick_gelu"
 
     @property
     def num_patches(self) -> int:
@@ -165,7 +170,8 @@ def clip_vision_features(params: Dict[str, Any], cfg: ClipVisionConfig,
         m = (jnp.einsum("bti,io->bto", m, lp["fc1"]["w"],
                         preferred_element_type=jnp.float32)
              + lp["fc1"]["b"]).astype(h.dtype)
-        m = quick_gelu(m)
+        m = quick_gelu(m) if cfg.hidden_act == "quick_gelu" \
+            else jax.nn.gelu(m, approximate=False)
         m = (jnp.einsum("bti,io->bto", m, lp["fc2"]["w"],
                         preferred_element_type=jnp.float32)
              + lp["fc2"]["b"]).astype(h.dtype)

@@ -263,12 +263,18 @@ def eva_vision_features(params: Dict[str, Any], cfg: EvaVisionConfig,
             x = x + ffn(lp, _ln(x, lp["norm2"], eps))
         return x, x
 
-    _, states = jax.lax.scan(lambda c, lp: block(c, lp), x,
-                             params["layers"])
-    # hidden_states = (embeddings, block_1, ..., block_depth) like the
-    # reference's output_hidden_states tuple (eva_vit_model.py:550-560)
+    # hidden_states index = (embeddings, block_1, ..., block_depth) like
+    # the reference's output_hidden_states tuple (eva_vit_model.py:
+    # 550-560) — but run ONLY the layers up to the tap and return the
+    # scan carry: stacking every hidden state materializes a
+    # [depth, B, N, H] buffer (~130 MB/image at EVA01-g fp32) and runs
+    # dead layers past select_layer (same trick as the CLIP tower).
     idx = cfg.select_layer % (cfg.depth + 1)
-    hidden = x if idx == 0 else states[idx - 1]
+    if idx == 0:
+        return x[:, 1:] if cfg.select_feature == "patch" else x
+    lp_run = jax.tree.map(lambda a: a[:idx], params["layers"])
+    hidden, _ = jax.lax.scan(lambda c, lp: (block(c, lp)[0], None), x,
+                             lp_run)
     if cfg.select_feature == "patch":
         return hidden[:, 1:]
     return hidden

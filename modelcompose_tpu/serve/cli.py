@@ -49,9 +49,9 @@ def main():
                                                 image_aspect_ratio="pad")
         media_prefix += "<image>\n"
     if args.audio_file:
-        feats, mask = processors["audio"]([args.audio_file])
-        modal_inputs["audio"] = {"audio_inputs": feats,
-                                 "audio_padding_mask": mask}
+        from ..data.audio_processing import collate_audio_inputs
+        modal_inputs["audio"] = collate_audio_inputs(
+            processors["audio"], [args.audio_file])
         media_prefix += "<audio>\n"
     if args.video_file:
         modal_inputs["video"] = processors["video"](args.video_file)

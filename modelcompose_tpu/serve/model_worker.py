@@ -175,10 +175,9 @@ class ModelWorker:
                 out[modal] = process_images(imgs, proc,
                                             image_aspect_ratio="pad")
             elif modal == "audio":
+                from ..data.audio_processing import collate_audio_inputs
                 arrays = [np.asarray(x, np.float32) for x in items]
-                feats, mask = proc(arrays)
-                out[modal] = {"audio_inputs": feats,
-                              "audio_padding_mask": mask}
+                out[modal] = collate_audio_inputs(proc, arrays)
             else:
                 out[modal] = np.asarray(items, np.float32)
         return out

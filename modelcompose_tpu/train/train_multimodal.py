@@ -260,6 +260,23 @@ def make_batch(model: MultimodalLM, collated: Dict[str, Any],
         n = int(tower_pixels[modal].shape[0]) if f is None else \
             int(f.shape[0])
         spans[modal] = (n, span)
+        # feature_span_len sizes the STATIC packing plan from the tower's
+        # nominal feature_len; a length-preserving projector over an
+        # input-dependent encoder length (e.g. multi-window BEATs audio
+        # >5.12 s with a linear projector) would silently misalign the
+        # splice — fail loudly instead
+        if f is not None:
+            from ..models.projectors import output_len
+            t = int(f.shape[1])
+            expect = span - model.cfg.prefix_len(modal) \
+                - model.cfg.suffix_len(modal)
+            got = output_len(model.cfg.projector_type(modal), t)
+            if got != expect:
+                raise ValueError(
+                    f"{modal} encoder emitted {t} tokens -> projector "
+                    f"output {got}, but the packing span expects "
+                    f"{expect} (tower feature_len is nominal; clip the "
+                    f"input or use a fixed-length projector)")
     feats = {m: f for m, f in feats.items() if f is not None}
     # span lengths include prefix/suffix added INSIDE the loss; but packing
     # plans against the full span

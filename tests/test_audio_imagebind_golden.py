@@ -112,8 +112,11 @@ def test_imagebind_processor_shapes_and_normalization():
     wav = rs.randn(16000 * 5).astype(np.float32) * 0.1  # 5 s
     out = proc(wav)
     assert out.shape == (1, 3, 1, 128, 204)
-    # clip starts uniformly spaced over [0, duration - clip]
-    assert proc._clip_starts(5.0) == [0.0, 1.5, 3.0]
+    # pytorchvideo ConstantClipsPerVideoSampler semantics:
+    # start_i = i * (duration - clip) / clips_per_video — 5 s, 2 s clip,
+    # 3 clips -> [0, 1, 2] (the old endpoint-inclusive [0, 1.5, 3] pinned
+    # a divergence from the reference sampler)
+    assert proc._clip_starts(5.0) == [0.0, 1.0, 2.0]
     # short audio: frames get zero-padded to target_len (normalized pad)
     short = proc(rs.randn(16000).astype(np.float32))
     assert short.shape == (1, 3, 1, 128, 204)
@@ -140,3 +143,32 @@ def test_imagebind_checkpoint_load(tmp_path):
     mel = rs.randn(1, 3, 1, MELS, FRAMES).astype(np.float32)
     out = np.asarray(imagebind_audio_features(tower.params, tower.cfg, mel))
     assert out.shape == (1, 3, E)
+
+
+def test_imagebind_audio_through_collator_and_model():
+    """End-to-end host pipeline for ImageBind audio: the collator must
+    pass the stacked-melspec protocol through (the old code hard-assumed
+    the BEATs ``(feats, mask)`` tuple and crashed on unpack — reference
+    splits the same way, multimodal_arch.py:211-235)."""
+    import jax
+
+    from modelcompose_tpu.config import tiny_test_config
+    from modelcompose_tpu.data.audio_processing import collate_audio_inputs
+    from modelcompose_tpu.models.model import MultimodalLM
+
+    cfg = tiny_test_config(mm_audio_encoder="imagebind-test:16x2",
+                           mm_audio_hidden_size=16,
+                           mm_projector_type="linear")
+    model = MultimodalLM.random_init(cfg, jax.random.PRNGKey(0))
+    proc = model.modal_processors()["audio"]
+    rs = np.random.RandomState(0)
+    waves = [rs.randn(16000).astype(np.float32) * 0.1 for _ in range(2)]
+    collated = collate_audio_inputs(proc, waves)
+    assert isinstance(collated, np.ndarray)  # stacked clips, no mask
+    feats = model.encode_modal_inputs({"audio": collated})["audio"]
+    span = model.feature_span_len("audio")
+    assert feats.shape[0] == 2 and feats.shape[1] == span
+    # and the BEATs protocol still round-trips through the same helper
+    from modelcompose_tpu.data.audio_processing import BeatsAudioProcessor
+    beats_out = collate_audio_inputs(BeatsAudioProcessor(), waves)
+    assert set(beats_out) == {"audio_inputs", "audio_padding_mask"}

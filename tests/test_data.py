@@ -124,6 +124,13 @@ def test_clip_processor_matches_hf():
     want = hf(img, return_tensors="np")["pixel_values"][0]  # [3, H, W]
     got = ours([img])[0].transpose(2, 0, 1)                 # NHWC -> CHW
     np.testing.assert_allclose(got, want, atol=2e-2)
+    # a size where truncation vs rounding differ (28*64/41 = 43.7: HF's
+    # int() gives 43, round() gave 44 and shifted the center crop)
+    img2 = Image.fromarray(
+        (np.random.RandomState(1).rand(41, 64, 3) * 255).astype(np.uint8))
+    want2 = hf(img2, return_tensors="np")["pixel_values"][0]
+    got2 = ours([img2])[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(got2, want2, atol=2e-2)
 
 
 def test_process_images_matches_reference(tmp_path):
