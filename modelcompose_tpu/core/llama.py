@@ -64,6 +64,34 @@ def _init_linear(rng, n_layers, n_adapters, d_in, d_out, r, dtype,
     return {"w": w, "lora_a": la, "lora_b": lb}
 
 
+def reinit_lora_a(params: Params, rng, dtype=None) -> Params:
+    """Fresh kaiming-uniform A for every ``lora_a`` leaf (B stays zero).
+
+    The HF-checkpoint converter zero-fills LoRA tensors (its A rows are
+    normally overlaid from a trained adapter checkpoint) — but TRAINING
+    from a converted base with A=0 AND B=0 gives identically-zero LoRA
+    gradients forever (dL/dA ∝ B, dL/dB ∝ A), silently training only
+    projectors/soft tokens.  The reference path peft get_peft_model
+    kaiming-initializes A at adapter creation; this is that step."""
+    out = dict(params)
+    layers = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in params["layers"].items()}
+    for grp in ("attn", "mlp"):
+        group = dict(layers[grp])
+        for name, p in group.items():
+            p2 = dict(p)
+            la = p2["lora_a"]
+            rng, sub = jax.random.split(rng)
+            bound = float(np.sqrt(1.0 / la.shape[-2]))
+            p2["lora_a"] = jax.random.uniform(
+                sub, la.shape, minval=-bound, maxval=bound,
+                dtype=dtype or la.dtype)
+            group[name] = p2
+        layers[grp] = group
+    out["layers"] = layers
+    return out
+
+
 def init_params(cfg: ModelConfig, rng, quantize_base: bool = False
                 ) -> Params:
     """quantize_base=True int8-quantizes each base weight IMMEDIATELY

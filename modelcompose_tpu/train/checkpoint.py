@@ -46,13 +46,19 @@ def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
 
 
 def unflatten_like(template, flat: Dict[str, np.ndarray], prefix: str = ""):
+    """Restored leaves stay HOST numpy arrays: jnp.asarray here would
+    allocate a full second state copy on the default device while the
+    template state is still live — 2x ~10 GB at the 7B stage-2 geometry,
+    RESOURCE_EXHAUSTED at restore on a 16 GB chip.  Device placement
+    happens at the caller's _replace_like (sharded leaves) or lazily on
+    first jit consume."""
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in paths:
         key = prefix + jax.tree_util.keystr(path)
         arr = flat[key]
-        leaves.append(jnp.asarray(arr, leaf.dtype if hasattr(leaf, "dtype")
-                                  else None))
+        leaves.append(np.asarray(arr, leaf.dtype)
+                      if hasattr(leaf, "dtype") else np.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

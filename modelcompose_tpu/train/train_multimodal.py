@@ -202,9 +202,17 @@ def build_model(args, cfg: ModelConfig) -> MultimodalLM:
             and (cfg.lora_strategy is not None or args.tune_mm_mlp_adapter))
     else:
         from ..compose.convert import hf_llama_to_params
+        from ..core.llama import reinit_lora_a
         from ..models.loader import load_hf_llama_dir
         params = hf_llama_to_params(
             load_hf_llama_dir(args.model_name_or_path), cfg)
+        if cfg.lora_strategy not in (None, "none") \
+                and not args.tune_mm_mlp_adapter:
+            # the converter zero-fills LoRA (A is normally overlaid from
+            # a trained adapter); training from scratch needs fresh
+            # kaiming A or the adapters get zero gradient forever
+            params = reinit_lora_a(params, k_lm,
+                                   dtype=jnp.dtype(cfg.dtype))
 
     projectors = {}
     import jax.numpy as jnp
@@ -279,10 +287,14 @@ def make_batch(model: MultimodalLM, collated: Dict[str, Any],
                     f"input or use a fixed-length projector)")
     feats = {m: f for m, f in feats.items() if f is not None}
     # span lengths include prefix/suffix added INSIDE the loss; but packing
-    # plans against the full span
+    # plans against the full span.  Each placeholder token is REPLACED by
+    # its span (plan_pack consumes the position), so the spliced length
+    # adds span-1 per instance — counting the full span overestimates by
+    # one token per placeholder, which can cross a bucket boundary (or
+    # reject a batch that fits the largest bucket).
     total = max((len(ids) + sum(
-        spans[m][1] * int((np.asarray(ids) ==
-                           _modal_token(m)).sum())
+        (spans[m][1] - 1) * int((np.asarray(ids) ==
+                                 _modal_token(m)).sum())
         for m in spans) for ids in collated["input_ids"]), default=8)
     bucket = pick_bucket(total, buckets)
     plan = plan_pack(collated["input_ids"], spans,
@@ -324,9 +336,29 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         tokenizer, model.modal_processors(),
         {"vision": {"image_aspect_ratio": args.image_aspect_ratio}})
 
-    B = args.per_device_train_batch_size
+    # HF flag semantics: per_device_train_batch_size is PER DEVICE — the
+    # global batch is per_device x data-parallel width (the reference's
+    # bs 16 x 8 GPUs = 128).  Single device: B = per_device, unchanged.
+    # A dataset smaller than per_device x n_devices shrinks the data
+    # width (devices idle, loudly) instead of yielding zero batches.
+    n_dev_total = len(jax.devices())
+    per_dev = args.per_device_train_batch_size
+    accum = max(args.gradient_accumulation_steps, 1)
     n = len(dataset)
-    steps_per_epoch = max(n // B, 1)
+    data_width = n_dev_total
+    if n < per_dev * data_width:
+        data_width = max(n // per_dev, 1)
+        print(f"[train] WARNING: dataset has {n} samples < "
+              f"{per_dev}/device x {n_dev_total} devices; shrinking the "
+              f"data-parallel width to {data_width}")
+    B = per_dev * data_width
+    if n < B:
+        raise ValueError(
+            f"dataset has {n} samples < the per-device batch {per_dev} "
+            "— the epoch loader would yield zero batches")
+    # max_steps / save_steps / warmup all count OPTIMIZER steps (HF
+    # semantics): one optimizer step consumes `accum` micro-batches
+    steps_per_epoch = max(n // (B * accum), 1)
     total_steps = args.max_steps if args.max_steps > 0 else \
         int(steps_per_epoch * args.num_train_epochs)
 
@@ -383,6 +415,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     single_device = mesh.devices.size == 1
     params = model.params if single_device \
         else shard_params(model.params, mesh)
+    if not single_device:
+        # free the UNSHARDED backbone: model.params would otherwise pin
+        # a full copy on device 0 for the whole run (the loop only needs
+        # model.encoders / span metadata; the export reads state.params)
+        model.params = None
     tower_train = (tc.mm_vision_tower_lr is not None
                    and "vision" in model.encoders)
     if tower_train:
@@ -402,14 +439,18 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
         np.asarray(jax.tree.leaves(params)[0])
         print("[train] debug-sync: shard_params done", flush=True)
+    train_tree = {"backbone": params, "projectors": model.projectors}
+    if tower_params is not None:
+        train_tree["towers"] = tower_params
+    # ONE optimizer object: the same tx initializes the opt_state and
+    # drives the step functions (no rebuilt-in-sync assumption)
+    tx, _ = make_optimizer(cfg, tc, train_tree)
     state = init_train_state(cfg, tc, params, model.projectors,
                              tower_params=tower_params,
-                             mesh=None if single_device else mesh)
+                             mesh=None if single_device else mesh, tx=tx)
     if os.environ.get("MC_TRAIN_DEBUG_SYNC"):
         np.asarray(state.step)
         print("[train] debug-sync: opt init done", flush=True)
-    tx, _ = make_optimizer(cfg, tc, state.params)
-    accum = max(args.gradient_accumulation_steps, 1)
     if accum > 1:
         from .trainer import make_grad_and_apply
         grad_fn, apply_fn, _, grad_accum_fn = make_grad_and_apply(
@@ -479,7 +520,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
                                    restored.opt_state))
 
     rng = np.random.default_rng(args.seed)
-    start_step = int(state.step)
+    # state.step counts OPTIMIZER steps (one per apply); the loop below
+    # counts MICRO-batches — total/logging/save/resume convert via accum
+    start_opt = int(state.step)
+    start_step = start_opt * accum
+    total_micro = total_steps * accum
     losses = []
     t0 = time.time()
     # steady-state window for throughput measurement: sync once after
@@ -488,14 +533,26 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     skip = int(os.environ.get("MC_LOOP_TIME_SKIP", "0") or 0)
     t_steady = None
     step_idx = start_step
+    # resume fast-forward (HF Trainer semantics): regenerate each
+    # consumed epoch's order (advancing rng identically to the original
+    # run) and skip the already-trained batches, so the resumed run sees
+    # the epoch TAIL instead of retraining the head and dropping the tail
+    to_skip = start_step
     bs = None if single_device else batch_sharding(mesh)
-    while step_idx < total_steps:
+    while step_idx < total_micro:
         if args.group_by_modality_length:
             order = get_modality_length_grouped_indices(
                 dataset.modality_lengths, B, 1, rng)
         else:
             order = get_length_grouped_indices(
                 [abs(l) for l in dataset.modality_lengths], B, 1, rng)
+        if to_skip:
+            epoch_batches = max((len(order) - B) // B + 1, 0)
+            if to_skip >= epoch_batches:
+                to_skip -= epoch_batches
+                continue  # whole epoch already consumed pre-resume
+            order = order[to_skip * B:]
+            to_skip = 0
         from ..data.loader import PrefetchLoader
         loader = PrefetchLoader(dataset, order, B, collator,
                                 num_workers=args.dataloader_num_workers,
@@ -503,7 +560,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
         trace_loop = os.environ.get("MC_TRAIN_LOOP_TRACE")
         t_mark = time.perf_counter()
         for collated in loader:
-            if step_idx >= total_steps:
+            if step_idx >= total_micro:
                 break
             t_a = time.perf_counter()
             batch, layout = make_batch(model, collated,
@@ -542,14 +599,18 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             if skip and step_idx == start_step + skip:
                 float(loss)  # hard sync: compiles/tracing end here
                 t_steady = time.time()
-            if step_idx % args.logging_steps == 0:
+            if step_idx % (args.logging_steps * accum) == 0:
                 avg = np.mean([float(l) for l in
-                               losses[-args.logging_steps:]])
+                               losses[-args.logging_steps * accum:]])
                 rate = step_idx / max(time.time() - t0, 1e-9)
-                print(f"[train] step {step_idx}/{total_steps} "
+                print(f"[train] step {step_idx // accum}/{total_steps} "
                       f"loss {avg:.4f} ({rate:.2f} it/s)")
-            if args.save_steps and step_idx % args.save_steps == 0:
-                save_step_checkpoint(args.output_dir, step_idx, state)
+            # save on OPTIMIZER-step boundaries only (HF save_steps
+            # semantics; a mid-accumulation-window save would silently
+            # drop the partial running gradient total on resume)
+            if args.save_steps and                     step_idx % (args.save_steps * accum) == 0:
+                save_step_checkpoint(args.output_dir, step_idx // accum,
+                                     state)
 
     # close the steady-state window at LOOP end (sync to the last step's
     # completion): the one-time final export below is amortized over a
@@ -590,7 +651,10 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     # bench needs for the device-idle fraction
     train_loop_seconds = time.time() - t0
     result = {"final_loss": losses[-1] if losses else None,
-              "steps": step_idx, "losses": losses,
+              # "steps": micro-batches processed (== optimizer steps when
+              # accum == 1); "optimizer_steps" is the HF-semantics count
+              "steps": step_idx, "optimizer_steps": step_idx // accum,
+              "losses": losses,
               "train_loop_seconds": train_loop_seconds}
     if t_steady is not None and step_idx > start_step + skip:
         result["steady_seconds"] = t_loop_end - t_steady

@@ -277,16 +277,22 @@ class TrainState:
 
 def init_train_state(cfg: ModelConfig, tc: TrainConfig, backbone_params,
                      projector_params, tower_params=None,
-                     mesh=None) -> TrainState:
+                     mesh=None, tx=None) -> TrainState:
     """mesh with a data axis > 1 additionally applies ZeRO-1: optimizer
     moments sharded over 'data' (parallel/mesh.shard_opt_state) — kept
     HERE so every caller (train entry, dryrun, resume path) gets the same
-    layout without repeating the sharding boilerplate."""
+    layout without repeating the sharding boilerplate.
+
+    ``tx``: pass the optimizer the step functions will use so the
+    opt_state is initialized by the SAME transform object; None rebuilds
+    one via make_optimizer (deterministic, so structurally identical —
+    but passing it removes the rebuilt-in-sync assumption)."""
     train_params = {"backbone": backbone_params,
                     "projectors": projector_params}
     if tower_params is not None:
         train_params["towers"] = tower_params
-    tx, _ = make_optimizer(cfg, tc, train_params)
+    if tx is None:
+        tx, _ = make_optimizer(cfg, tc, train_params)
     opt_state = tx.init(train_params)
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         from ..parallel.mesh import shard_opt_state

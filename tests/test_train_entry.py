@@ -272,8 +272,10 @@ def test_gradient_accumulation_through_entry(tmp_path, tiny_dataset,
 
     monkeypatch.setattr(tm, "build_model_config", tiny_cfg)
     result = train(args, tokenizer=TinyTokenizer())
-    # 4 micro-batches = 2 optimizer steps
-    assert result["steps"] == 4
+    # HF semantics: max_steps counts OPTIMIZER steps — 4 optimizer steps
+    # x accum 2 = 8 micro-batches
+    assert result["optimizer_steps"] == 4
+    assert result["steps"] == 8
     assert all(np.isfinite(result["losses"]))
     assert os.path.exists(
         os.path.join(str(tmp_path / "out"), "adapter_model.safetensors"))

@@ -685,3 +685,41 @@ def test_sharded_grad_accumulation_on_mesh(vision_model):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_reinit_lora_a_enables_gradient_flow():
+    """Training from a converted HF checkpoint: the converter zero-fills
+    LoRA (A is normally overlaid from a trained adapter), and with A=0
+    AND B=0 the LoRA gradients are identically zero forever (dL/dA ∝ B,
+    dL/dB ∝ A) — reinit_lora_a is the peft get_peft_model kaiming-A step
+    the train entry applies on that path."""
+    from modelcompose_tpu.core.llama import init_params, reinit_lora_a
+
+    cfg = tiny_test_config(mm_vision_encoder="x", mm_hidden_size=8,
+                           lora_strategy="modal+language")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # simulate the converter's zero-filled LoRA
+    zeroed = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.zeros_like(x)
+        if "lora" in jax.tree_util.keystr(p) else x, params)
+    la0 = zeroed["layers"]["attn"]["q"]["lora_a"]
+    assert float(jnp.abs(la0).max()) == 0.0
+    fresh = reinit_lora_a(zeroed, jax.random.PRNGKey(1))
+    la = fresh["layers"]["attn"]["q"]["lora_a"]
+    lb = fresh["layers"]["attn"]["q"]["lora_b"]
+    assert float(jnp.abs(la).max()) > 0.0       # A lives
+    assert float(jnp.abs(lb).max()) == 0.0      # B stays zero
+    # peft kaiming_uniform(a=sqrt(5)) bound = 1/sqrt(d_in)
+    bound = 1.0 / np.sqrt(la.shape[-2])
+    assert float(jnp.abs(la).max()) <= bound + 1e-6
+
+    def loss(p):
+        x = jnp.ones((1, 4, cfg.hidden_size), jnp.float32)
+        from modelcompose_tpu.core.llama import forward
+        logits, _ = forward(p, cfg, x,
+                            routing_table=jnp.asarray(cfg.routing_table()))
+        return (logits.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss, allow_int=True)(fresh)
+    gb = g["layers"]["attn"]["q"]["lora_b"]
+    assert float(jnp.abs(gb).max()) > 0.0       # grads FLOW into B now
