@@ -37,8 +37,17 @@ def compare_checkpoints(path_a: str, path_b: str,
     # the shared base-key set
     flat_a, flat_b = [], []
     shared = []
+    # pair MATCHED modalities when the two checkpoints share any modality
+    # names (comparing two multi-modal checkpoints); the full cross
+    # product would enter every delta multiple times and let
+    # mismatched-modality pairs dominate the aggregate.  Disjoint
+    # modality sets (the reference's vision-ckpt-vs-audio-ckpt use,
+    # delta_weights_compare.py) keep the cross pairing.
+    common_modals = set(deltas_a) & set(deltas_b)
     for modal_a, keys_a in deltas_a.items():
         for modal_b, keys_b in deltas_b.items():
+            if common_modals and modal_a != modal_b:
+                continue
             for base in sorted(set(keys_a) & set(keys_b)):
                 shared.append((modal_a, modal_b, base))
                 flat_a.append(keys_a[base].ravel())

@@ -49,6 +49,12 @@ def apply_delta(base_path: str, delta_path: str, target_path: str) -> None:
     delta = _load_dir_or_file(delta_path)
     out = {}
     for k, v in delta.items():
+        if k not in base and "mm_projector" not in k \
+                and "modal_projectors" not in k:
+            # reference asserts unknown delta-only keys are projector
+            # weights (apply_delta.py:25) — anything else means the delta
+            # does not belong to this base
+            raise KeyError(f"delta key {k!r} not in the base model")
         out[k] = v + base[k] if k in base else v
     save_state(out, target_path)
     print(f"applied delta -> {target_path} ({len(out)} tensors)")

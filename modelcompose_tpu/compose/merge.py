@@ -126,8 +126,10 @@ def merge_checkpoints(filepaths: List[str], output_path: str,
         merged_weights = {k: np.sum(v, axis=0) / len(v) for k, v in
                           weights_to_merge.items()}
     else:
-        print(f"Merge strategy [{strategy}] not implemented, DO NOTHING.")
-        merged_weights = {}
+        # the reference prints "DO NOTHING" here with the raise commented
+        # out (merge_unimodal_modelcompose.py:114-115) and then writes an
+        # EMPTY checkpoint that fails far downstream — raise at the CLI
+        raise ValueError(f"Merge strategy [{strategy}] not implemented")
 
     # Union config; True-ish values win on conflicts (reference: :117-129).
     merged_configs: dict = {}

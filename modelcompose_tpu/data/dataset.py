@@ -56,11 +56,13 @@ class MultimodalDataset:
             lengths.append(cur)
         return lengths
 
-    def get_modal_inputs(self, modal_inputs: Dict[str, list]
+    @staticmethod
+    def get_modal_inputs(modal_inputs: Dict[str, list]
                          ) -> Dict[str, list]:
         """Load media from paths (reference: :91-111).  Vision loads PIL
         images; audio/video/point keep paths for the collator's
-        processors."""
+        processors.  Static: self-free so standalone callers
+        (eval/retrieval) can use it without a constructed dataset."""
         out = {}
         for modal, items in modal_inputs.items():
             if modal == "vision":
@@ -91,13 +93,30 @@ class MultimodalDataset:
 
 class ChunkedMultimodalDataset(MultimodalDataset):
     """File-level sharding for distributed eval (reference:
-    eval/model_multimodal_qa_loader.py:25-46)."""
+    eval/model_multimodal_qa_loader.py:25-46).
+
+    Unlike the training dataset, media-load failures RAISE here: the eval
+    loaders match answers to questions by index, so the training-time
+    random-resample fallback would silently grade a random other sample's
+    generation against this question's gold (the reference inherits the
+    resample into eval unchanged — a footgun this rebuild does not keep).
+    """
 
     def __init__(self, data_path, tokenizer, data_args=None,
                  modal_processors=None, num_chunks: int = 1,
                  chunk_idx: int = 0):
         super().__init__(data_path, tokenizer, data_args, modal_processors)
         self.data = get_chunk(self.data, num_chunks, chunk_idx)
+
+    def __getitem__(self, index: int):
+        example = copy.deepcopy(self.data[index])
+        modal_inputs = self.get_modal_inputs(
+            example.get("modal_inputs", {}))  # raises on corrupt media
+        data_dict = preprocess([example["conversations"]], self.tokenizer,
+                               has_image=len(modal_inputs) != 0)
+        return dict(input_ids=data_dict["input_ids"][0],
+                    labels=data_dict["labels"][0],
+                    modal_inputs=modal_inputs)
 
 
 def split_list(lst, n):

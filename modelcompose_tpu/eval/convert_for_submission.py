@@ -136,6 +136,7 @@ def convert_mmbench(annotation_file: str, result_dir: str, upload_dir: str,
     import csv
 
     with open(annotation_file) as f:
+        csv.field_size_limit(2 ** 31 - 1)  # base64 image cells
         reader = csv.DictReader(f, delimiter="\t")
         rows = list(reader)
         drop = {"hint", "category", "source", "image", "comment",

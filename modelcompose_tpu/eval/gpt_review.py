@@ -90,6 +90,14 @@ def parse_score(review: str):
         return [-1, -1]
 
 
+REVIEWER_SYSTEM_PROMPT = ("You are a helpful and precise assistant for "
+                          "checking the quality of the answer.")
+# the judge's OpenAI SYSTEM message is this fixed reviewer instruction
+# (reference: eval_gpt_review.py:20, eval_gpt_review_bench.py:18,
+# eval_gpt_review_visual.py:18); rule['role'] only labels the
+# [Assistant 1/2] content blocks
+
+
 def review_pairs(questions, answers1, answers2, rule: dict,
                  judge_fn: Callable[[str, str], str]):
     """Yield review records for answer pairs under a judging rule."""
@@ -99,7 +107,7 @@ def review_pairs(questions, answers1, answers2, rule: dict,
                    f"[Assistant 2]\n{a2['text']}\n\n[End of Assistant 2]\n\n"
                    f"[System]\n{rule['prompt']}\n\n")
         review = call_with_backoff(
-            lambda c=content: judge_fn(rule.get("role", "Assistant"), c))
+            lambda c=content: judge_fn(REVIEWER_SYSTEM_PROMPT, c))
         yield {"question_id": q.get("question_id", q.get("id")),
                "review": review, "scores": parse_score(review)}
 
@@ -137,7 +145,7 @@ def review_with_context(questions, answers1, answers2, rule_dict, contexts,
                    f'[{role} 2]\n{a2["text"]}\n\n[End of {role} 2]\n\n'
                    f'[System]\n{rule["prompt"]}\n\n')
         review = call_with_backoff(
-            lambda c=content: judge_fn(role, c))
+            lambda c=content: judge_fn(REVIEWER_SYSTEM_PROMPT, c))
         yield {"id": idx + 1,
                "question_id": q["question_id"],
                "answer1_id": a1.get("answer_id", a1.get("question_id")),

@@ -63,6 +63,9 @@ def load_image_from_base64(image_b64: str):
 
 def read_tsv(path):
     with open(path, newline="") as f:
+        # base64 image cells exceed csv's 128 KB default field limit
+        # (the reference reads the TSV via pandas, which has none)
+        csv.field_size_limit(2 ** 31 - 1)
         return list(csv.DictReader(f, delimiter="\t"))
 
 

@@ -39,6 +39,11 @@ def rank_candidates(model, tokenizer, record: dict, modal_processors,
         {"vision": {"image_aspect_ratio": "pad"}})
     losses = []
     base_convs = record["conversations"]
+    # load + decode the media ONCE per record: only the candidate answer
+    # text changes per iteration — reloading inside the loop re-ran the
+    # PIL decode and the encoder tower per CANDIDATE (~1000x redundant
+    # tower forwards per MSRVTT clip)
+    media = _load_media(record)
     for cand in record["candidates"]:
         convs = copy.deepcopy(base_convs)
         if len(convs) == 1:
@@ -46,12 +51,9 @@ def rank_candidates(model, tokenizer, record: dict, modal_processors,
         else:
             convs[-1]["value"] = cand
         data = preprocess([convs], tokenizer, has_image=True)
-        # one sample per candidate; media re-processed per record
-        from .model_multimodal_qa_loader import ChunkedMultimodalDataset
-        _ = ChunkedMultimodalDataset  # interface parity
         sample = {"input_ids": data["input_ids"][0],
                   "labels": data["labels"][0],
-                  "modal_inputs": _load_media(record, modal_processors)}
+                  "modal_inputs": media}
         batch = collator([sample])
         loss = model.loss(batch["input_ids"], batch["labels"],
                           batch.get("modal_inputs", {}))
@@ -59,11 +61,10 @@ def rank_candidates(model, tokenizer, record: dict, modal_processors,
     return losses
 
 
-def _load_media(record, modal_processors):
-    from .model_multimodal_qa_loader import ChunkedMultimodalDataset
+def _load_media(record):
     from ..data.dataset import MultimodalDataset
-    ds = MultimodalDataset.__new__(MultimodalDataset)
-    return ds.get_modal_inputs(dict(record.get("modal_inputs", {})))
+    return MultimodalDataset.get_modal_inputs(
+        dict(record.get("modal_inputs", {})))
 
 
 def recall_metrics(ranks: List[int]) -> Dict[str, float]:

@@ -94,7 +94,9 @@ def main():
     parser.add_argument("--model-path", required=True)
     parser.add_argument("--model-base", default=None)
     parser.add_argument("--query", required=True)
-    parser.add_argument("--conv-mode", default="vicuna_v1")
+    # default 'auto' so the template is inferred from the model name
+    # (run_llava.py behavior); an explicit template overrides
+    parser.add_argument("--conv-mode", default="auto")
     parser.add_argument("--image-file", default=None)
     parser.add_argument("--audio-file", default=None)
     parser.add_argument("--video-file", default=None)
