@@ -38,9 +38,12 @@ def convert_record(rec: dict, modal: str, media_root: str = "") -> dict:
     # LLaVA uses <image> for every modality's marker in some exports;
     # rewrite to the modality's own token.
     token = MODAL_TOKENS[modal]
-    if modal != "vision":
-        for turn in out.get("conversations", []):
-            turn["value"] = turn["value"].replace("<image>", token)
+    if modal != "vision" and "conversations" in out:
+        # Rebuild the turn dicts: dict(rec) is shallow, so in-place edits
+        # would rewrite the caller's original records too.
+        out["conversations"] = [
+            {**turn, "value": turn["value"].replace("<image>", token)}
+            for turn in out["conversations"]]
     return out
 
 

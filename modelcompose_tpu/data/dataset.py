@@ -120,9 +120,17 @@ class ChunkedMultimodalDataset(MultimodalDataset):
 
 
 def split_list(lst, n):
+    """Ceil-chunking like the reference eval loaders, but padded with empty
+    chunks so every chunk_idx < n is valid (ceil-chunking can otherwise
+    yield fewer than n chunks, e.g. len 10 / n 8 -> 5 chunks, and a
+    distributed launcher iterating all n indices would IndexError)."""
     import math
-    chunk_size = math.ceil(len(lst) / n)
-    return [lst[i:i + chunk_size] for i in range(0, len(lst), chunk_size)]
+    chunk_size = math.ceil(len(lst) / n) if lst else 0
+    chunks = ([lst[i:i + chunk_size]
+               for i in range(0, len(lst), chunk_size)]
+              if chunk_size else [])
+    chunks += [[] for _ in range(n - len(chunks))]
+    return chunks
 
 
 def get_chunk(lst, n, k):
@@ -169,9 +177,16 @@ class DataCollatorForSupervisedDataset:
                 from .audio_processing import collate_audio_inputs
                 results[modal] = collate_audio_inputs(proc, items)
             elif modal == "video":
-                clips = [proc(p) if isinstance(p, str) else p for p in items]
-                results[modal] = np.concatenate(
-                    [np.asarray(c) for c in clips], axis=0)
+                clips = [np.asarray(proc(p) if isinstance(p, str) else p)
+                         for p in items]
+                # Mixed batches of single-frame "videos" (.jpg) and real
+                # clips: tile 1-frame entries to the batch's max frame
+                # count, mirroring the reference's expand-then-stack HACK
+                # (reference: multimodal_dataset.py:203-210).
+                T = max(c.shape[1] for c in clips)
+                clips = [np.broadcast_to(c, c.shape[:1] + (T,) + c.shape[2:])
+                         if c.shape[1] == 1 and T > 1 else c for c in clips]
+                results[modal] = np.concatenate(clips, axis=0)
             elif modal == "point":
                 results[modal] = proc(items)
             else:

@@ -53,10 +53,11 @@ class PrefetchLoader:
                 yield self.collate([self.dataset[i] for i in idxs])
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # maxsize=0 would mean UNBOUNDED for queue.Queue — clamp so
+        # prefetch=0 still back-pressures at one batch ahead.
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         task_q: "queue.Queue" = queue.Queue()
-        results = {}
-        results_lock = threading.Lock()
+        results = {}  # guarded by emit_cv (all access under its lock)
         next_emit = [0]
         stop = [False]  # set when the consumer exits early (close/exception)
         emit_cv = threading.Condition()
@@ -88,8 +89,7 @@ class PrefetchLoader:
                 except Exception as e:  # surfaced on the consumer side
                     batch = e
                 with emit_cv:
-                    with results_lock:
-                        results[bi] = batch
+                    results[bi] = batch
                     emit_cv.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -103,8 +103,7 @@ class PrefetchLoader:
                     emit_cv.wait_for(lambda: stop[0] or bi in results)
                     if stop[0]:
                         return
-                    with results_lock:
-                        batch = results.pop(bi)
+                    batch = results.pop(bi)
                     next_emit[0] = bi + 1
                     emit_cv.notify_all()  # open the look-ahead window
                 # Poll the stop flag so a departed consumer (full out_q)

@@ -25,10 +25,12 @@ def initialize(coordinator_address: Optional[str] = None,
     """Initialize multi-host jax.  On TPU pods all arguments are discovered
     from the environment; on CPU/GPU test rigs pass them explicitly."""
     import jax
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+    # Pass each argument independently: num_processes/process_id must not
+    # be silently dropped just because coordinator_address is env-provided.
+    kwargs = {k: v for k, v in dict(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id).items() if v is not None}
     jax.distributed.initialize(**kwargs)
 
 

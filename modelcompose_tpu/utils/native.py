@@ -11,12 +11,14 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _find_lib() -> Optional[str]:
@@ -24,7 +26,9 @@ def _find_lib() -> Optional[str]:
         os.path.abspath(__file__))))
     native_dir = os.path.join(here, "native")
     so = os.path.join(native_dir, "libmcdata.so")
-    for cand in (so, os.environ.get("MCDATA_LIB", "")):
+    # Explicit override wins over the bundled build (otherwise a
+    # once-built native/libmcdata.so would silently shadow MCDATA_LIB).
+    for cand in (os.environ.get("MCDATA_LIB", ""), so):
         if cand and os.path.exists(cand):
             return cand
     # The binary is not checked in (unreviewable blob); build it from
@@ -42,10 +46,20 @@ def _find_lib() -> Optional[str]:
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    # Serialized: first use can come concurrently from PrefetchLoader
+    # worker threads, and _find_lib may run `make` — two racing builds
+    # writing libmcdata.so while a third thread CDLLs the half-written
+    # file would crash the loader.
     global _LIB, _TRIED
-    if _TRIED:
-        return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _LIB
     path = _find_lib()
     if path is None:
         return None
@@ -109,6 +123,11 @@ def fps_native(xyz: np.ndarray, npoint: int,
     if lib is None:
         return None
     pts = np.ascontiguousarray(xyz, np.float32)
+    if npoint <= 0:
+        return np.empty((0,), np.int32)
+    if pts.shape[0] <= 0 or not (0 <= start_index < pts.shape[0]):
+        raise ValueError(
+            f"fps_native: n={pts.shape[0]}, start_index={start_index}")
     out = np.empty((npoint,), np.int32)
     lib.mc_fps(_fptr(pts), pts.shape[0], npoint, start_index,
                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))

@@ -42,7 +42,8 @@ def train_step_flops(cfg, batch_tokens: int) -> float:
     kv = cfg.num_key_value_heads * cfg.head_dim
     dense = L * (2 * H * H + 2 * H * kv + 3 * H * I) + V * H
     n_adapters = len(cfg.adapter_names())
-    lora = L * n_adapters * cfg.lora_r * (4 * H + 2 * kv + 3 * (H + I))
+    # attn adapters: q (2H) + k (H+kv) + v (H+kv) + o (2H) = 6H + 2kv
+    lora = L * n_adapters * cfg.lora_r * (6 * H + 2 * kv + 3 * (H + I))
     return 6.0 * (dense + lora) * batch_tokens
 
 

@@ -177,6 +177,8 @@ int mc_fbank(const float* waveform, int64_t n, float* out, int num_bins,
 // fixed start index (deterministic).
 void mc_fps(const float* xyz, int64_t n, int npoint, int start_index,
             int32_t* out_idx) {
+  if (npoint <= 0) return;
+  if (n <= 0 || start_index < 0 || start_index >= n) return;  // OOB guard
   std::vector<float> dist(n, 1e10f);
   int64_t farthest = start_index;
   for (int i = 0; i < npoint; ++i) {

@@ -161,3 +161,46 @@ def test_process_images_matches_reference(tmp_path):
     ours = process_images([img], ClipImageProcessor(size=28),
                           image_aspect_ratio="pad")[0].transpose(2, 0, 1)
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_video_collate_mixed_frame_counts():
+    """A batch mixing single-frame .jpg 'videos' with real 8-frame clips
+    tiles the 1-frame entries to the batch max, mirroring the reference's
+    expand-then-stack (multimodal_dataset.py:203-210)."""
+    from modelcompose_tpu.data.dataset import DataCollatorForSupervisedDataset
+    coll = DataCollatorForSupervisedDataset(
+        tokenizer=None, modal_processors={"video": lambda p: p})
+    jpg_clip = np.arange(1 * 1 * 2 * 2 * 3, dtype=np.float32).reshape(
+        1, 1, 2, 2, 3)
+    vid_clip = np.ones((1, 8, 2, 2, 3), np.float32)
+    out = coll.process_modal_inputs({"video": [jpg_clip, vid_clip]})
+    assert out["video"].shape == (2, 8, 2, 2, 3)
+    for t in range(8):  # tiled frames are identical
+        np.testing.assert_array_equal(out["video"][0, t], jpg_clip[0, 0])
+    np.testing.assert_array_equal(out["video"][1], vid_clip[0])
+
+
+def test_split_list_pads_to_n_chunks():
+    """Ceil-chunking can yield fewer than n chunks (len 10 / n 8 -> 5);
+    every chunk_idx < n must stay valid for distributed eval launchers."""
+    from modelcompose_tpu.data.dataset import get_chunk, split_list
+    chunks = split_list(list(range(10)), 8)
+    assert len(chunks) == 8
+    assert sum(chunks, []) == list(range(10))
+    assert chunks[:5] == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+    assert chunks[5:] == [[], [], []]
+    assert get_chunk(list(range(10)), 8, 7) == []
+    assert split_list([], 4) == [[], [], [], []]
+    # even split unchanged vs the reference arithmetic
+    assert split_list(list(range(8)), 4) == [[0, 1], [2, 3], [4, 5], [6, 7]]
+
+
+def test_convert_record_does_not_mutate_input():
+    """convert_record must not rewrite the caller's conversation dicts in
+    place (shallow-copy aliasing, round-5 review finding)."""
+    from modelcompose_tpu.data.convert_to_multimodal import convert_record
+    rec = {"id": 1, "audio": "x.wav",
+           "conversations": [{"from": "human", "value": "<image>\nq"}]}
+    out = convert_record(rec, "audio")
+    assert out["conversations"][0]["value"].startswith("<audio>")
+    assert rec["conversations"][0]["value"].startswith("<image>")

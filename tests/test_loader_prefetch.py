@@ -90,3 +90,31 @@ def test_early_exit_releases_threads():
         time.sleep(0.05)
     assert threading.active_count() <= before, (
         f"leaked {threading.active_count() - before} threads")
+
+
+def test_prefetch_zero_stays_bounded():
+    """prefetch=0 must not become an UNBOUNDED queue (queue.Queue treats
+    maxsize=0 as infinite): with a stalled consumer, decode look-ahead
+    stays within the window instead of racing through the epoch."""
+
+    class CountingDataset(SlowDataset):
+        def __init__(self, n):
+            super().__init__(n, delay=0.0)
+            self.decoded = 0
+
+        def __getitem__(self, i):
+            self.decoded += 1
+            return super().__getitem__(i)
+
+    ds = CountingDataset(80)
+    loader = PrefetchLoader(ds, list(range(80)), 2, collate,
+                            num_workers=2, prefetch=0)
+    it = iter(loader)
+    next(it)
+    next(it)
+    time.sleep(0.3)  # stalled consumer; workers must back-pressure
+    # window = max(prefetch,1) + num_workers = 3, out_q holds 1, plus the
+    # 2 consumed batches and in-flight slack: far below the 40 batches a
+    # runaway loader would decode.
+    assert ds.decoded <= 2 * (2 + 3 + 1 + 2), ds.decoded
+    it.close()

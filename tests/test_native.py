@@ -72,3 +72,20 @@ def test_knn_native_k_exceeds_points():
     for row in out:
         assert sorted(row[:5].tolist()) == [0, 1, 2, 3, 4]
         assert (row[5:] == row[4]).all()
+
+
+def test_fps_native_input_guards():
+    """Empty clouds / OOB start_index raise in the wrapper instead of
+    reading out of bounds in C (round-5 advisor finding, mc_fps)."""
+    import pytest
+    from modelcompose_tpu.utils.native import fps_native, native_available
+    if not native_available():
+        return
+    pts = np.random.RandomState(0).randn(8, 3).astype(np.float32)
+    assert fps_native(pts, 0).shape == (0,)
+    with pytest.raises(ValueError):
+        fps_native(np.zeros((0, 3), np.float32), 4)
+    with pytest.raises(ValueError):
+        fps_native(pts, 4, start_index=8)
+    with pytest.raises(ValueError):
+        fps_native(pts, 4, start_index=-1)
