@@ -275,6 +275,9 @@ def load_adapter_into_params(params: Dict[str, Any],
     leftovers: List[str] = []
     consumed_projector_prefixes = set()
     for key, val in adapter.items():
+        if key.startswith("base_model.model."):
+            # peft wrapper prefix on converted LLaVA-LoRA checkpoints
+            key = key[len("base_model.model."):]
         m = _LORA_RE.match(key)
         if m:
             layer, grp, proj, ab, adapter_name = m.groups()

@@ -35,11 +35,20 @@ def base_key_to_lora_key(base_key: str, modal: str):
     return a, b
 
 
+def _modal_scale(config: dict, modal: str) -> float:
+    """alpha/r for one modality, honoring the ``{modal}_lora_alpha`` /
+    ``{modal}_lora_r`` stamps the merge CLI writes (compose/merge.py:152)
+    — the runtime (config.ModelConfig.modal_scale) applies these, so the
+    analyzed deltas must use the same scale."""
+    alpha = config.get(f"{modal}_lora_alpha") or config["lora_alpha"]
+    r = config.get(f"{modal}_lora_r") or config["lora_r"]
+    return alpha / r
+
+
 def load_delta_weights(path: str, modals: Optional[Sequence[str]] = None
                        ) -> Dict[str, Dict[str, np.ndarray]]:
     with open(os.path.join(path, "config.json")) as f:
         config = json.load(f)
-    scale = config["lora_alpha"] / config["lora_r"]
     lora = load_adapter_dir(path)
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for key in lora:
@@ -50,7 +59,7 @@ def load_delta_weights(path: str, modals: Optional[Sequence[str]] = None
             base = lora_key_to_base_key(key, modal)
             a_key, b_key = base_key_to_lora_key(base, modal)
             out.setdefault(modal, {})[base] = get_delta_weight(
-                lora[a_key], lora[b_key], scale)
+                lora[a_key], lora[b_key], _modal_scale(config, modal))
     return out
 
 

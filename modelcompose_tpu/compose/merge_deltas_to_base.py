@@ -30,7 +30,7 @@ from typing import Dict
 
 import numpy as np
 
-from .state_io import load_state, save_state
+from .state_io import load_adapter_dir, load_state, save_state
 from ..models.loader import load_hf_llama_dir
 
 _TOKENIZER_FILES = ("special_tokens_map.json", "tokenizer.model",
@@ -38,11 +38,18 @@ _TOKENIZER_FILES = ("special_tokens_map.json", "tokenizer.model",
 
 
 def _lora_key_to_base_key(lora_key: str) -> str:
-    key = lora_key.replace("base_model.model.", "") \
-        .replace(".lora_A.weight", "").replace(".lora_B.weight", "")
-    # the reference's helper appends '.weight' unconditionally, doubling
-    # it on non-lora overlay keys — normalize instead
+    """LoRA keys ONLY (the reference's helper is also applied to non-lora
+    overlay keys, which corrupts '.bias' / soft-token names by appending
+    '.weight' — overlays here keep their keys and just lose the peft
+    prefix, via load_adapter_dir / _strip_peft_prefix)."""
+    key = lora_key.replace(".lora_A.weight", "") \
+        .replace(".lora_B.weight", "")
     return key if key.endswith(".weight") else key + ".weight"
+
+
+def _strip_peft_prefix(key: str) -> str:
+    return key[len("base_model.model."):] \
+        if key.startswith("base_model.model.") else key
 
 
 def _to_multimodal_key(key: str, modal: str) -> str:
@@ -61,17 +68,19 @@ def load_dense_deltas(path: str):
     config = json.load(open(os.path.join(path, "config.json")))
     adapter_cfg = json.load(open(os.path.join(path, "adapter_config.json")))
     scale = adapter_cfg["lora_alpha"] / adapter_cfg["r"]
-    lora = load_state(os.path.join(path, "adapter_model.bin"))
-    base_keys = sorted({_lora_key_to_base_key(k) for k in lora})
+    # load_adapter_dir finds .bin OR .safetensors and strips the peft prefix
+    lora = load_adapter_dir(path)
+    base_keys = sorted({_lora_key_to_base_key(k) for k in lora
+                        if ".lora_A." in k or ".lora_B." in k})
     deltas = {}
     for base_key in base_keys:
-        stem = "base_model.model." + base_key.replace(".weight", "")
+        stem = base_key[:-len(".weight")]
         a = lora[f"{stem}.lora_A.weight"]
         b = lora[f"{stem}.lora_B.weight"]
         deltas[base_key] = (b @ a) * scale
     extra_path = os.path.join(path, "non_lora_trainables.bin")
     extra = load_state(extra_path) if os.path.exists(extra_path) else {}
-    extra = {_lora_key_to_base_key(k): v for k, v in extra.items()}
+    extra = {_strip_peft_prefix(k): v for k, v in extra.items()}
     return deltas, extra, config
 
 

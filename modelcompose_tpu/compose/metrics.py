@@ -29,13 +29,24 @@ def parse_merge_info(file):
 
 
 def l2_distance(xy: np.ndarray) -> float:
-    return float(np.sqrt(((xy[0] - xy[1]) ** 2).sum()))
+    """Mean pairwise L2.  With two inputs this is exactly the reference's
+    L2(xy[0], xy[1]) (calculate_metrics.py:26-27, which hard-codes the
+    first pair and silently ignores rows 2+ of a 3+-way merge)."""
+    n = xy.shape[0]
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    return float(np.mean([np.sqrt(((xy[i] - xy[j]) ** 2).sum())
+                          for i, j in pairs]))
 
 
 def cosine_dissimilarity(xy: np.ndarray) -> float:
-    a, b = xy[0], xy[1]
-    return float(1 - (a @ b) / max(np.linalg.norm(a) * np.linalg.norm(b),
-                                   1e-30))
+    """Mean pairwise cosine dissimilarity (reference parity at 2 inputs,
+    see l2_distance)."""
+    def one(a, b):
+        return 1 - (a @ b) / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                 1e-30)
+    n = xy.shape[0]
+    return float(np.mean([one(xy[i], xy[j])
+                          for i in range(n) for j in range(i + 1, n)]))
 
 
 def soft_sign_dissimilarity(xy: np.ndarray) -> float:
@@ -46,7 +57,12 @@ def soft_sign_dissimilarity(xy: np.ndarray) -> float:
 
 
 def calculate_metrics(merged_ckpt: str, reset_thresh: float = 50):
-    filepaths, _, _ = parse_merge_info(Path(merged_ckpt) / "merge_info.txt")
+    info = Path(merged_ckpt) / "merge_info.txt"
+    filepaths, _, _ = parse_merge_info(info)
+    if filepaths is None:
+        raise ValueError(
+            f"malformed merge_info.txt at {info}: expected the merge CLI's "
+            "'Inputs:\\n...\\n\\nOutput(strategy):path' format")
     weights = defaultdict(list)
     for fp in filepaths:
         for k, v in load_adapter_dir(fp).items():

@@ -72,4 +72,11 @@ def find_adapter_file(ckpt_dir: str) -> str:
 
 
 def load_adapter_dir(ckpt_dir: str) -> Dict[str, np.ndarray]:
-    return load_state(find_adapter_file(ckpt_dir))
+    """Load the adapter state dict, stripping peft's 'base_model.model.'
+    wrapper prefix (present on converted LLaVA-LoRA checkpoints, absent on
+    DAMC ones) so every consumer — loader overlay, merge CLI, metrics,
+    delta analysis — matches on reference 'model.layers.*' keys."""
+    state = load_state(find_adapter_file(ckpt_dir))
+    return {(k[len("base_model.model."):]
+             if k.startswith("base_model.model.") else k): v
+            for k, v in state.items()}

@@ -10,5 +10,8 @@ def rms_norm(x, weight, eps: float = 1e-5):
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-    normed = xf * jax.lax.rsqrt(var + eps)
-    return (normed * weight.astype(jnp.float32)).astype(dtype)
+    # HF 4.31 LlamaRMSNorm casts the normed states back to the input dtype
+    # BEFORE the weight multiply (weight * hidden.to(input_dtype)); keep
+    # that order so bf16 activations round identically to the reference.
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return weight.astype(dtype) * normed

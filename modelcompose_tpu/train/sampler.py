@@ -56,8 +56,12 @@ def get_modality_length_grouped_indices(
     mm = [(i, l) for i, l in enumerate(lengths) if l > 0]
     lang = [(i, -l) for i, l in enumerate(lengths) if l < 0]
     if not mm or not lang:
+        # The vendored reference ASSERTS both modality groups are
+        # non-empty (llava_trainer.py:66-67); upstream LLaVA's fallback
+        # passes the SIGNED lengths unchanged — do the same so all-text
+        # batches sort/balance exactly as upstream, instead of crashing.
         return get_length_grouped_indices(
-            [abs(l) for l in lengths], batch_size, world_size, rng)
+            list(lengths), batch_size, world_size, rng)
     mm_indices, mm_lengths = zip(*mm)
     lang_indices, lang_lengths = zip(*lang)
     mm_shuffle = [mm_indices[i] for i in get_length_grouped_indices(

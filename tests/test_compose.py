@@ -250,3 +250,63 @@ def test_modal_lora_stamps_honored_in_scales():
     d["vision_lora_r"] = 8
     with pytest.raises(ValueError, match="rank-heterogeneous"):
         ModelConfig.from_dict(d).routing_table()
+
+
+def test_metrics_three_way_mean_pairwise(tmp_path):
+    """3+-way merges average L2/cosine over ALL pairs (the reference
+    hard-codes rows 0 and 1, silently ignoring row 2+)."""
+    from modelcompose_tpu.compose.metrics import (cosine_dissimilarity,
+                                                  l2_distance)
+    xy = np.array([[1., 0, 0], [0., 1, 0], [0., 0, 1]], np.float32)
+    assert abs(l2_distance(xy) - np.sqrt(2)) < 1e-6  # every pair sqrt(2)
+    assert abs(cosine_dissimilarity(xy) - 1.0) < 1e-6  # all orthogonal
+    # two-row parity with the reference formula is exact
+    two = np.array([[3., 0], [0., 4]], np.float32)
+    assert abs(l2_distance(two) - 5.0) < 1e-6
+
+
+def test_calculate_metrics_malformed_info(tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "merge_info.txt").write_text("not the merge CLI format")
+    with pytest.raises(ValueError, match="malformed merge_info"):
+        calculate_metrics(str(d))
+
+
+def test_delta_weights_honor_modal_stamps(tmp_path):
+    """Per-modality alpha stamps written by the merge CLI
+    ({modal}_lora_alpha) scale the analyzed delta like the runtime does
+    (config.ModelConfig.modal_scale)."""
+    a = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+    b = np.random.RandomState(1).randn(6, 4).astype(np.float32)
+    cfg = dict(VIS_CFG)
+    cfg.update({"mm_audio_encoder": "beats",
+                "audio_lora_alpha": 16, "audio_lora_r": 4})
+    ckpt = _write_ckpt(
+        tmp_path, "stamped",
+        {"model.layers.0.q_proj.lora_A.vision.weight": a,
+         "model.layers.0.q_proj.lora_B.vision.weight": b,
+         "model.layers.0.q_proj.lora_A.audio.weight": a,
+         "model.layers.0.q_proj.lora_B.audio.weight": b}, cfg)
+    deltas = load_delta_weights(ckpt)
+    base = "model.layers.0.q_proj.weight"
+    np.testing.assert_allclose(deltas["vision"][base], (b @ a) * 2.0,
+                               rtol=1e-6)  # global 8/4
+    np.testing.assert_allclose(deltas["audio"][base], (b @ a) * 4.0,
+                               rtol=1e-6)  # stamped 16/4
+
+
+def test_adapter_dir_strips_peft_prefix(tmp_path):
+    """Converted LLaVA-LoRA checkpoints carry peft's 'base_model.model.'
+    wrapper prefix; load_adapter_dir strips it so loader/merge/metrics
+    match on reference 'model.layers.*' keys."""
+    d = tmp_path / "peft"
+    d.mkdir()
+    save_state(
+        {"base_model.model.model.layers.0.self_attn.q_proj"
+         ".lora_A.vision.weight": np.ones((4, 8), np.float32),
+         "prefix_tokens.vision": np.zeros((1, 2, 8), np.float32)},
+        str(d / "adapter_model.safetensors"))
+    out = load_adapter_dir(str(d))
+    assert "model.layers.0.self_attn.q_proj.lora_A.vision.weight" in out
+    assert "prefix_tokens.vision" in out

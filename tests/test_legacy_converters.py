@@ -180,7 +180,13 @@ def test_merge_deltas_to_base(tmp_path):
                     ".lora_B.weight": b},
                    str(d / "adapter_model.bin"))
         save_state({"base_model.model.model.mm_projector.0.weight":
-                    r.randn(H, H).astype(np.float32)},
+                    r.randn(H, H).astype(np.float32),
+                    # bias + soft-token overlays keep their key shape (the
+                    # reference's helper appends '.weight' to these)
+                    "base_model.model.model.mm_projector.0.bias":
+                    r.randn(H).astype(np.float32),
+                    "base_model.model.prefix_tokens":
+                    r.randn(1, 2, H).astype(np.float32)},
                    str(d / "non_lora_trainables.bin"))
         json.dump({"lora_alpha": 4, "r": 2},
                   open(d / "adapter_config.json", "w"))
@@ -208,6 +214,10 @@ def test_merge_deltas_to_base(tmp_path):
     # overlays renamed per modal; config unioned; provenance written
     assert "model.modal_projectors.vision.0.weight" in merged
     assert "model.modal_projectors.audio.0.weight" in merged
+    # bias / soft-token overlay keys survive un-mangled (no '.weight' tail)
+    assert "model.modal_projectors.vision.0.bias" in merged
+    assert "prefix_tokens" in merged
+    assert not any(k.endswith(".bias.weight") for k in merged)
     cfg = json.load(open(out / "config.json"))
     assert cfg["mm_vision_encoder"] == "clip"
     assert cfg["mm_audio_encoder"] == "beats"

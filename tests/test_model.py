@@ -132,3 +132,29 @@ def test_fold_decode_generate_equivalence(tiny_vision_model):
     plain = gen.generate(model.params, model.cfg, embeds,
                          fold_decode=False, **kwargs)
     assert folded == plain
+
+
+def test_rms_norm_matches_hf_431_bf16_rounding():
+    """HF 4.31 LlamaRMSNorm multiplies weight by normed.to(input_dtype)
+    (cast BEFORE the weight multiply); the bf16 rounding must match
+    element-for-element, not just to tolerance."""
+    import jax.numpy as jnp
+    import torch
+
+    from modelcompose_tpu.ops.norms import rms_norm
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 64).astype(np.float32)
+    w = (1 + 0.1 * rs.randn(64)).astype(np.float32)
+    eps = 1e-5
+
+    tx = torch.from_numpy(x).to(torch.bfloat16)
+    tw = torch.from_numpy(w).to(torch.bfloat16)
+    hidden = tx.to(torch.float32)
+    var = hidden.pow(2).mean(-1, keepdim=True)
+    hidden = hidden * torch.rsqrt(var + eps)
+    ref = (tw * hidden.to(torch.bfloat16)).to(torch.float32).numpy()
+
+    ours = rms_norm(jnp.asarray(x, jnp.bfloat16),
+                    jnp.asarray(w, jnp.bfloat16), eps=eps)
+    np.testing.assert_array_equal(np.asarray(ours, np.float32), ref)
