@@ -177,7 +177,7 @@ def composed_longctx(steps=128):
 
     def decode(logits, cache):
         tokens, _ = _decode_loop(params, cfg, cache, logits, lengths,
-                                 None, rng, steps, -1, 0.0)
+                                 None, rng, steps, -1, do_sample=False)
         return np.asarray(tokens)
 
     logits, cache = prefill()          # compile warmup
@@ -293,7 +293,7 @@ def main():
         logits, cache = _prefill(params, cfg, embeds, route_ids, table, seg,
                                  lengths, cache_len, "auto", use_int8)
         tokens, _ = _decode_loop(params, cfg, cache, logits, lengths,
-                                 None, rng, steps, -1, 0.0)
+                                 None, rng, steps, -1, do_sample=False)
         return np.asarray(tokens)  # D2H fetch = hard sync
 
     # compile warmup — the axon remote-compile relay can drop connections

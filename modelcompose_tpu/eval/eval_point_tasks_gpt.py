@@ -394,13 +394,15 @@ class PointTaskEvaluator:
                          "average_score": f"{avg:.2f}",
                          "total_score": f"{self.total_scores:.2f}"})
         elif self.eval_type == "modelnet-close-set-classification":
-            if clean_total == 0:
-                acc = clean_acc = 0
-            else:
-                acc = self.correct_predictions / self.total_predictions * 100
-                clean_acc = ((self.correct_predictions
-                              - self.invalid_correct_predictions)
-                             / clean_total * 100)
+            # raw accuracy is defined whenever anything was predicted
+            # (random-fallback hits count, denominator total_predictions);
+            # only clean_acc needs the clean_total==0 guard (reference
+            # zeroes its single metric there, :391-394)
+            acc = 0 if self.total_predictions == 0 else \
+                self.correct_predictions / self.total_predictions * 100
+            clean_acc = 0 if clean_total == 0 else \
+                ((self.correct_predictions
+                  - self.invalid_correct_predictions) / clean_total * 100)
             base.update({"prompt": self.gpt_prompt,
                          "accuracy": f"{acc:.2f}%",
                          "clean_accuracy": f"{clean_acc:.2f}%",

@@ -31,7 +31,9 @@ def eval_pope(answers, label_file, verbose: bool = True):
     precision = TP / max(TP + FP, 1)
     recall = TP / max(TP + FN, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    acc = (TP + TN) / max(len(preds), 1)
+    # confusion-matrix total, like the reference (eval_pope.py:56) — a
+    # preds/labels length mismatch must not silently deflate accuracy
+    acc = (TP + TN) / max(TP + TN + FP + FN, 1)
     yes_ratio = preds.count(1) / max(len(preds), 1)
     if verbose:
         print("TP\tFP\tTN\tFN\t")

@@ -24,15 +24,18 @@ NUM_SECONDS_TO_SLEEP = 0.5
 
 def call_with_backoff(fn: Callable[[], str], max_retries: int = 5,
                       base_sleep: float = NUM_SECONDS_TO_SLEEP,
-                      sleep_fn=time.sleep) -> str:
-    """Exponential-backoff retry (reference: eval_point_tasks_gpt.py:17-40)."""
+                      sleep_fn=time.sleep, max_sleep: float = 60.0) -> str:
+    """Exponential-backoff retry (reference: eval_point_tasks_gpt.py:17-40).
+    Sleeps are capped at ``max_sleep``: uncapped doubling with the
+    40-retry call sites would sleep for days on a persistently failing
+    judge instead of erroring."""
     last_err: Optional[Exception] = None
     for attempt in range(max_retries):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — judge APIs throw everything
             last_err = e
-            sleep_fn(base_sleep * (2 ** attempt))
+            sleep_fn(min(base_sleep * (2 ** attempt), max_sleep))
     raise RuntimeError(f"judge failed after {max_retries} retries: "
                        f"{last_err}")
 

@@ -21,13 +21,12 @@ import json
 import os
 import uuid
 
-import numpy as np
-
 from ..data import conversation as conversation_lib
-from ..data.conversation import SeparatorStyle, conv_templates
+from ..data.conversation import conv_templates
 from ..data.dataset import (ChunkedMultimodalDataset,
                             DataCollatorForSupervisedDataset, get_chunk)
 from ..models.loader import load_pretrained_model
+from .generation_utils import stop_str_for
 
 
 def eval_model(args):
@@ -51,8 +50,14 @@ def eval_model(args):
     questions = get_chunk(json.load(open(args.question_file)),
                           args.num_chunks, args.chunk_idx)
 
+    # Prompt protocol note: like the reference, the dataset tokenizes the
+    # FULL conversation through the training preprocess — benchmark
+    # question files carry a None/empty gpt turn (gold lives in the
+    # separate ANN file, see avqa.sh), which renders a prompt ending in
+    # 'ASSISTANT:'; a question file that DID embed gold would leak it in
+    # both stacks identically.
     conv = conv_templates[args.conv_mode]
-    stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+    stop_str = stop_str_for(conv)
 
     import jax
     rng = jax.random.PRNGKey(0)

@@ -109,6 +109,7 @@ select {{ flex: 1; }}
 <nav>GPT-judge evaluation examples</nav>
 <div class="wrap">
   <div class="controls">
+    <select id="model"></select>
     <select id="category"></select>
     <select id="question"></select>
     <button id="prev">&#8592;</button>
@@ -129,6 +130,8 @@ const OURS = {ours_key_json};
 const cats = [...new Set(DATA.questions.map(q => q.category))];
 const catSel = document.getElementById('category');
 const qSel = document.getElementById('question');
+const modelSel = document.getElementById('model');
+DATA.models.forEach(m => modelSel.add(new Option(m + ' vs ours', m)));
 cats.forEach(c => catSel.add(new Option(c, c)));
 function fillQuestions() {{
   qSel.innerHTML = '';
@@ -139,7 +142,7 @@ function fillQuestions() {{
 function render() {{
   const q = DATA.questions.find(x => String(x.id) === String(qSel.value));
   if (!q) return;
-  const other = DATA.models[0];
+  const other = modelSel.value || DATA.models[0];
   document.getElementById('q-text').textContent = q.question;
   document.getElementById('other-name').textContent = other;
   document.getElementById('other-answer').textContent = q.answers[other] || '';
@@ -154,6 +157,7 @@ function step(d) {{
   const i = qSel.selectedIndex + d;
   if (i >= 0 && i < qSel.length) {{ qSel.selectedIndex = i; render(); }}
 }}
+modelSel.onchange = render;
 catSel.onchange = fillQuestions;
 qSel.onchange = render;
 document.getElementById('prev').onclick = () => step(-1);

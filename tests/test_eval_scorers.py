@@ -118,3 +118,14 @@ def test_compare_answers(tmp_path):
                             load_gold(str(gold)))
     assert [f[0] for f in fixed] == [1]
     assert [b[0] for b in broken] == [3]
+
+
+def test_pope_accuracy_uses_confusion_total(tmp_path):
+    """Accuracy divides by TP+TN+FP+FN like the reference (eval_pope.py:56)
+    — a preds/labels length mismatch (zip-truncated) must not deflate it."""
+    labels = tmp_path / "labels.jsonl"
+    labels.write_text(json.dumps({"label": "yes"}) + "\n"
+                      + json.dumps({"label": "no"}))
+    answers = [{"text": t} for t in ["Yes.", "No.", "Yes.", "Yes."]]
+    res = eval_pope(answers, str(labels), verbose=False)
+    assert res["accuracy"] == 1.0  # 2 scored pairs, both correct

@@ -118,3 +118,15 @@ def test_summarize_gpt_review(tmp_path):
     # ignore list drops rows
     out2 = summarize_file(str(p), ignore={3})
     assert "detail" not in out2
+
+
+def test_backoff_sleep_is_capped():
+    """Uncapped exponential doubling with 40-retry call sites would sleep
+    for days on a persistently dead judge; sleeps cap at max_sleep."""
+    sleeps = []
+    with pytest.raises(RuntimeError):
+        call_with_backoff(lambda: (_ for _ in ()).throw(ValueError("x")),
+                          max_retries=12, base_sleep=1.0,
+                          sleep_fn=sleeps.append, max_sleep=8.0)
+    assert max(sleeps) == 8.0
+    assert sleeps[:4] == [1.0, 2.0, 4.0, 8.0]

