@@ -133,6 +133,8 @@ class BeatsAudioProcessor:
                 data = w.readframes(n)
                 dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
                 arr = np.frombuffer(data, dtype=dtype).astype(np.float32)
+                if sw == 1:
+                    arr = arr - 128.0  # 8-bit PCM is UNSIGNED, midpoint 128
                 if w.getnchannels() > 1:
                     arr = arr.reshape(-1, w.getnchannels()).mean(axis=1)
                 arr = arr / float(1 << (8 * sw - 1))

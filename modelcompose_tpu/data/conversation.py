@@ -84,7 +84,10 @@ class Conversation:
                         ret += " " + message + " " + self.sep2
             return ret.lstrip(self.sep)
         if style == SeparatorStyle.PLAIN:
-            seps = [self.sep, self.sep2]
+            # conv_llava_plain has sep2=None; the reference crashes with a
+            # TypeError when a second turn renders (conversation.py:91-97)
+            # — treat a missing sep2 as '' instead.
+            seps = [self.sep, self.sep2 if self.sep2 is not None else ""]
             ret = self.system
             for i, (role, message) in enumerate(messages):
                 if message:

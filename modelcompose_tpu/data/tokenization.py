@@ -25,10 +25,12 @@ def split_string_by_list(text: str, separators: List[str]
     current = ""
     for char in text:
         current += char
-        hit = next((s for s in separators if s in current), None)
+        # `current` is reset after every hit, so a new occurrence can only
+        # appear as a suffix — endswith is equivalent to the reference's
+        # `in` scan but linear instead of O(len(current)) per char.
+        hit = next((s for s in separators if current.endswith(s)), None)
         if hit is not None:
-            chunk, _ = current.split(hit, 1)
-            splits.append((chunk, hit))
+            splits.append((current[:-len(hit)], hit))
             current = ""
     if current:
         splits.append((current, None))

@@ -30,9 +30,6 @@ import numpy as np
 
 from .vision_clip import _ln, quick_gelu
 
-VIDEO_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
-VIDEO_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
-
 
 @dataclasses.dataclass(frozen=True)
 class LanguageBindVideoConfig:

@@ -210,6 +210,30 @@ def trainable_labels(train_params: Dict[str, Any], cfg: ModelConfig,
     return labels
 
 
+def _is_nodecay_path(path) -> bool:
+    """HF Trainer's decay exclusion by parameter name (no bias, no
+    LayerNorm weights) mapped onto this pytree: any 'norm'/'ln*' ancestor
+    key, or a 'b'/'bias' leaf key."""
+    for p in path:
+        k = getattr(p, "key", None)
+        if k is None:
+            continue
+        k = str(k)
+        if "norm" in k or k == "ln" or k.startswith("ln_") \
+                or k in ("b", "bias"):
+            return True
+    return False
+
+
+def split_nodecay_labels(labels, splittable) -> Dict[str, Any]:
+    """Retag norm-scale/bias leaves of decayed groups as '<label>:nodecay'
+    so weight decay matches HF's AdamW grouping."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, lbl: (lbl + ":nodecay"
+                           if lbl in splittable and _is_nodecay_path(path)
+                           else lbl), labels)
+
+
 def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
                    train_params: Dict[str, Any]):
     warmup = int(tc.warmup_ratio * tc.total_steps)
@@ -221,36 +245,71 @@ def make_optimizer(cfg: ModelConfig, tc: TrainConfig,
                                    eps=tc.adam_eps,
                                    mu_dtype=tc.adam_mu_dtype)
 
-    def group(lr):
+    def group(lr, decay: bool = True):
         chain = [adam()]
-        if tc.weight_decay:
+        if tc.weight_decay and decay:
             chain.append(optax.add_decayed_weights(tc.weight_decay))
         chain += [optax.scale_by_schedule(sched), optax.scale(-lr)]
         return optax.chain(*chain)
 
-    lora_chain = optax.chain(adam(), optax.scale_by_schedule(sched),
-                             _scale_adapter_rows(row_lrs))
+    def lora_group():
+        chain = [adam()]
+        if tc.weight_decay:
+            # HF/peft AdamW decays LoRA A/B (the bias/LayerNorm name
+            # rule does not exclude them)
+            chain.append(optax.add_decayed_weights(tc.weight_decay))
+        chain += [optax.scale_by_schedule(sched),
+                  _scale_adapter_rows(row_lrs)]
+        return optax.chain(*chain)
+
     transforms = {
         "frozen": optax.set_to_zero(),
         "base": group(tc.learning_rate),  # full finetune (strategy absent)
-        "lora": lora_chain,
+        "lora": lora_group(),
         "proj": group(tc.proj_lr()),
         "soft": group(tc.learning_rate),
     }
-    if "towers" in train_params and tc.mm_vision_tower_lr is not None:
+    tower_trains = "towers" in train_params \
+        and tc.mm_vision_tower_lr is not None
+    if tower_trains:
         tower = train_params["towers"]["vision"]
         n_layers = int(tower["layers"]["q"]["w"].shape[0])
-        transforms["tower"] = optax.chain(
-            adam(), optax.scale_by_schedule(sched),
-            _scale_tower_layerwise(
-                n_layers, tc.mm_vision_tower_lr,
-                tc.mm_vision_tower_layerwise_lr_decay))
+
+        def tower_chain(decay: bool = True):
+            parts = [adam()]
+            if tc.weight_decay and decay:
+                parts.append(optax.add_decayed_weights(tc.weight_decay))
+            parts += [optax.scale_by_schedule(sched),
+                      _scale_tower_layerwise(
+                          n_layers, tc.mm_vision_tower_lr,
+                          tc.mm_vision_tower_layerwise_lr_decay)]
+            return optax.chain(*parts)
+
+        transforms["tower"] = tower_chain()
     else:
         transforms["tower"] = optax.set_to_zero()
     labels = trainable_labels(train_params, cfg, tc)
+    if tc.weight_decay:
+        # HF AdamW grouping: norm scales and biases are never decayed
+        splittable = {"base", "proj", "soft"} | (
+            {"tower"} if tower_trains else set())
+        labels = split_nodecay_labels(labels, splittable)
+        transforms["base:nodecay"] = group(tc.learning_rate, decay=False)
+        transforms["proj:nodecay"] = group(tc.proj_lr(), decay=False)
+        transforms["soft:nodecay"] = group(tc.learning_rate, decay=False)
+        if tower_trains:
+            transforms["tower:nodecay"] = tower_chain(decay=False)
     tx = optax.multi_transform(transforms, labels)
     if tc.max_grad_norm:
-        tx = optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), tx)
+        # Clip the global norm of TRAINABLE gradients only (HF clips
+        # requires_grad params): unmasked, the 7B frozen bf16 base grads
+        # (zeroed only later inside multi_transform) would dominate the
+        # norm and rescale the trainable updates arbitrarily.
+        discarded = {"frozen"} | (set() if tower_trains else {"tower"})
+        clip_mask = jax.tree.map(lambda lbl: lbl not in discarded, labels)
+        tx = optax.chain(
+            optax.masked(optax.clip_by_global_norm(tc.max_grad_norm),
+                         clip_mask), tx)
     return tx, labels
 
 

@@ -204,3 +204,59 @@ def test_convert_record_does_not_mutate_input():
     out = convert_record(rec, "audio")
     assert out["conversations"][0]["value"].startswith("<audio>")
     assert rec["conversations"][0]["value"].startswith("<image>")
+
+
+def test_plain_prompt_second_turn_no_crash():
+    """conv_llava_plain has sep2=None; rendering a completed exchange must
+    not TypeError (the reference crashes at conversation.py:91-97)."""
+    conv = conv_templates["plain"].copy()
+    conv.messages = []
+    conv.append_message(conv.roles[0], "<image>")
+    conv.append_message(conv.roles[1], "a red bus")
+    assert conv.get_prompt() == "<image>\na red bus"
+
+
+def test_split_string_by_list_equivalence():
+    """Linear endswith scan is behavior-identical to the reference's
+    quadratic substring scan (mm_utils.py:65-80)."""
+    import random
+
+    def reference_impl(text, separators):
+        splits, current = [], ""
+        for char in text:
+            current += char
+            hit = next((s for s in separators if s in current), None)
+            if hit is not None:
+                chunk, _ = current.split(hit, 1)
+                splits.append((chunk, hit))
+                current = ""
+        if current:
+            splits.append((current, None))
+        return splits
+
+    seps = ["<image>", "<audio>", "<video>"]
+    rng = random.Random(0)
+    pieces = ["hi ", "<image>", "<aud", "io>", "x<video>", "<im", "age>",
+              " tail", "<", ">"]
+    for _ in range(50):
+        text = "".join(rng.choice(pieces)
+                       for _ in range(rng.randint(0, 12)))
+        assert split_string_by_list(text, seps) == \
+            reference_impl(text, seps), text
+
+
+def test_load_audio_8bit_unsigned_midpoint(tmp_path):
+    """8-bit PCM is unsigned; a constant-128 file must decode to silence,
+    not a +1.0 DC bias."""
+    import wave
+
+    from modelcompose_tpu.data.audio_processing import BeatsAudioProcessor
+    path = tmp_path / "a8.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(bytes([128] * 16000))
+    proc = BeatsAudioProcessor()
+    arr = proc._load_audio(str(path))
+    np.testing.assert_allclose(arr, 0.0, atol=1e-6)

@@ -723,3 +723,61 @@ def test_reinit_lora_a_enables_gradient_flow():
     g = jax.grad(loss, allow_int=True)(fresh)
     gb = g["layers"]["attn"]["q"]["lora_b"]
     assert float(jnp.abs(gb).max()) > 0.0       # grads FLOW into B now
+
+
+def test_clip_masks_frozen_grads(vision_model):
+    """Global-norm clipping must see TRAINABLE gradients only: huge grads
+    on frozen bf16 base leaves (zeroed later inside multi_transform) must
+    not rescale the trainable updates (HF clips requires_grad params)."""
+    import optax
+
+    model = vision_model
+    tc = TrainConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0,
+                     max_grad_norm=1.0)
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    tx, labels = make_optimizer(model.cfg, tc, state.params)
+    opt_state = tx.init(state.params)
+
+    small = jax.tree.map(lambda p: jnp.full_like(p, 1e-4), state.params)
+    # blow up only the frozen base weight grads
+    big = jax.tree_util.tree_map_with_path(
+        lambda path, g: g * 1e6
+        if any(getattr(p, "key", None) == "w" for p in path)
+        and "projectors" != getattr(path[0], "key", None) else g,
+        small)
+    upd_small, _ = tx.update(small, opt_state, state.params)
+    upd_big, _ = tx.update(big, opt_state, state.params)
+    la_small = np.asarray(
+        upd_small["backbone"]["layers"]["attn"]["q"]["lora_a"], np.float32)
+    la_big = np.asarray(
+        upd_big["backbone"]["layers"]["attn"]["q"]["lora_a"], np.float32)
+    np.testing.assert_allclose(la_big, la_small, rtol=1e-5)
+
+
+def test_weight_decay_grouping_matches_hf(vision_model):
+    """HF AdamW grouping: norm scales/biases never decayed; LoRA and
+    other weights decayed.  With zero grads, a decayed leaf still moves
+    (-lr*wd*w) and a no-decay leaf stays put."""
+    model = vision_model
+    tc = TrainConfig(learning_rate=1e-2, total_steps=10, warmup_ratio=0.0,
+                     weight_decay=0.1)
+    state = init_train_state(model.cfg, tc, model.params, model.projectors)
+    tx, labels = make_optimizer(model.cfg, tc, state.params)
+    assert labels["backbone"]["layers"]["input_layernorm"] == "frozen"
+    assert labels["projectors"]["vision"]["layers"][0]["b"] \
+        == "proj:nodecay"
+    assert labels["projectors"]["vision"]["layers"][0]["w"] == "proj"
+    opt_state = tx.init(state.params)
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    upd, _ = tx.update(zeros, opt_state, state.params)
+    # decayed projector weight moves toward zero, bias (nodecay) is static
+    w_upd = np.asarray(upd["projectors"]["vision"]["layers"][0]["w"],
+                       np.float32)
+    b_upd = np.asarray(upd["projectors"]["vision"]["layers"][0]["b"],
+                       np.float32)
+    la_upd = np.asarray(
+        upd["backbone"]["layers"]["attn"]["q"]["lora_a"], np.float32)
+    assert np.abs(w_upd).max() > 0
+    np.testing.assert_array_equal(b_upd, 0)
+    # LoRA A is random-init nonzero -> decays; B is zero-init -> no move
+    assert np.abs(la_upd).max() > 0
