@@ -532,6 +532,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     # compile-cache loads) and time the remainder
     skip = int(os.environ.get("MC_LOOP_TIME_SKIP", "0") or 0)
     t_steady = None
+    steady_tokens = 0  # bucket tokens processed inside the steady window
     step_idx = start_step
     # resume fast-forward (HF Trainer semantics): regenerate each
     # consumed epoch's order (advancing rng identically to the original
@@ -592,6 +593,11 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
             else:
                 t_mark = time.perf_counter()
             step_idx += 1
+            if t_steady is not None:
+                # count the ACTUAL packed bucket per step (the ladder can
+                # pick different buckets across batches) so the pipeline
+                # bench's tokens/sec doesn't assume a fixed bucket
+                steady_tokens += int(np.prod(batch["token_ids"].shape))
             # keep the DEVICE scalar: float() here would sync the host to
             # every step's completion and stall the prefetch pipeline —
             # conversion happens lazily at logging/exit
@@ -659,6 +665,7 @@ def train(args, tokenizer=None) -> Dict[str, Any]:
     if t_steady is not None and step_idx > start_step + skip:
         result["steady_seconds"] = t_loop_end - t_steady
         result["steady_steps"] = step_idx - start_step - skip
+        result["steady_bucket_tokens"] = steady_tokens
     return result
 
 

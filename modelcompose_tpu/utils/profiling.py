@@ -100,3 +100,18 @@ class MetricsLogger:
 
     def close(self):
         self._fh.close()
+
+
+def enable_compile_cache(path: str = "/tmp/mc_jax_cache",
+                         min_compile_secs: float = 2.0):
+    """Persistent XLA compile cache (verified working through the axon
+    relay, round 4): repeated bench/driver runs skip the 10-30 min remote
+    recompiles of unchanged 7B programs.  Single definition — the bench
+    and probe scripts all route through here."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass

@@ -1,8 +1,8 @@
 """Encoder throughput benchmark: clips/sec per tower on one chip.
 
 The secondary metric in BASELINE.md (driver BASELINE.json): CLIP-ViT-L/336
-images/sec, LanguageBind 8-frame clips/sec, BEATs 10-s clips/sec, PointBERT
-8192-pt clouds/sec.  Random weights (throughput is weight-value agnostic);
+images/sec, LanguageBind 8-frame clips/sec, BEATs 512-frame (~5 s)
+windows/sec, PointBERT 8192-pt clouds/sec.  Random weights (throughput is weight-value agnostic);
 timing via D2H fetch (block_until_ready does not sync through the axon
 relay).
 
@@ -10,10 +10,11 @@ Usage: python scripts/bench_encoders.py [--batch 8] [--iters 4]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

@@ -30,7 +30,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 V5E_BF16_PEAK = 197e12
 
@@ -172,15 +173,10 @@ def run_variant(name, cfg, B, L, *, int8_base, mu_dtype, stage1,
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (verified working through the axon
-    relay, round 4): repeated bench/driver runs skip the 10-30 min
-    remote recompiles of unchanged 7B programs."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # single definition lives in the package; kept as a named alias here
+    # because bench_train_accum.py / probe_train_memory.py import it
+    from modelcompose_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
 
 def main():
@@ -218,7 +214,7 @@ def main():
                             dict(B=8, L=1024, int8_base=True,
                                  mu_dtype="bfloat16", stage1=True)),
     }
-    out = open("/root/repo/BENCH_TRAIN.jsonl", "a")
+    out = open(os.path.join(REPO, "BENCH_TRAIN.jsonl"), "a")
     queue = list(variants)
     oom_batch = None  # smallest stage-2 int8 batch that OOMed
     while queue:

@@ -158,14 +158,17 @@ def main():
                           TIMED_STEPS + SKIP_STEPS, "out_timed")
     wall = result["steady_seconds"]
     timed_steps = result.get("steady_steps", TIMED_STEPS)
-    # per-sample packed length: 586-token image span + prompt text
-    # (bucket 1024); count bucket tokens to match the step bench
-    sample_bucket = 1024
-    toks = timed_steps * BATCH * sample_bucket
+    # bucket tokens actually packed in the steady window, reported by the
+    # train loop itself (no hardcoded bucket — the ladder could pick 2048
+    # if the synthetic prompts ever lengthen); fall back to the expected
+    # 1024 bucket only if the loop predates the counter
+    toks = result.get("steady_bucket_tokens") or timed_steps * BATCH * 1024
+    sample_bucket = toks // max(timed_steps * BATCH, 1)
     gc.collect()
 
     if TINY:
         print(json.dumps({"tiny_smoke": "ok", "wall_s": round(wall, 2),
+                          "sample_bucket": int(sample_bucket),
                           "final_loss": result["final_loss"]}))
         return
     # device-only floor at the same compiled shape

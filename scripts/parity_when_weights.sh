@@ -29,6 +29,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# PARITY_DRY_RUN=1: print each command instead of executing (lets the
+# test suite pin the constructed CLI — e.g. the checkpoint list — without
+# weights present)
+run() { if [ -n "${PARITY_DRY_RUN:-}" ]; then echo "DRYRUN: $*"; else "$@"; fi; }
+
 : "${CKPT_ROOT:?set CKPT_ROOT to the released checkpoints dir}"
 : "${VICUNA:?set VICUNA to the Vicuna-7B v1.5 base dir}"
 : "${DATA_ROOT:?set DATA_ROOT to the eval data root}"
@@ -37,7 +42,8 @@ MODALS=${MODALS:-"audio image video image+audio image+video video+audio video+im
 # relative CKPT args
 MERGED=${MERGED:-$(pwd)/checkpoints/merged-multimodal-parity}
 
-[ -e data ] || ln -s "$DATA_ROOT" data
+# (dry-run leaves the repo untouched — no symlink)
+[ -n "${PARITY_DRY_RUN:-}" ] || [ -e data ] || ln -s "$DATA_ROOT" data
 
 # (a) compose: equal-coefficient online-merge-reset over the available
 # unimodal checkpoints (paper protocol: 1/n per modality, README.md:83-91)
@@ -49,16 +55,20 @@ n=${#mods[@]}
 [ "$n" -ge 2 ] || { echo "need >=2 unimodal checkpoints in $CKPT_ROOT"; exit 2; }
 coef=$(python -c "print(1.0/$n)")
 strategy="online-merge-reset-$(printf "default-%s=${coef}," "${mods[@]}" | sed 's/,$//')"
-ckpts=$(printf " %s/%s" "$(cd "$CKPT_ROOT" && pwd)" "${mods[@]}")
+# NB: expand the root once per modality (printf would recycle a 2-slot
+# format across leftover args and pair checkpoints with each other)
+root=$(cd "$CKPT_ROOT" && pwd)
+ckpts=""
+for m in "${mods[@]}"; do ckpts+=" $root/$m"; done
 echo "[parity] merging:$ckpts -> $MERGED ($strategy)"
-python -m modelcompose_tpu.compose.merge \
+run python -m modelcompose_tpu.compose.merge \
     $ckpts -o "$MERGED" --strategy "$strategy"
 
 # (b) the shipped chunked harness — one chunk per run on a single chip
 for MODAL in $MODALS; do
-  bash scripts/model_composition/test/avqa.sh 0 "$MERGED" "$MODAL" "$VICUNA"
+  run bash scripts/model_composition/test/avqa.sh 0 "$MERGED" "$MODAL" "$VICUNA"
 done
-bash scripts/model_composition/test/MCUB-4.sh 0 "$MERGED" "$VICUNA"
+run bash scripts/model_composition/test/MCUB-4.sh 0 "$MERGED" "$VICUNA"
 
 # (c) answer-for-answer diff vs the reference stack
 ANS_CKPT=$(basename "$MERGED")

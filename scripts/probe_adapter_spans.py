@@ -96,7 +96,6 @@ def main():
         x = jax.random.normal(k[0], (L, H), jnp.bfloat16)
         a_stack = jax.random.normal(k[1], (A, H, R), jnp.bfloat16)
         b_stack = jax.random.normal(k[2], (A, R, d_out), jnp.bfloat16)
-        route = jnp.zeros((L, A), jnp.float32)
         rows = np.zeros((L, A), np.float32)
         for s, n, r in SPANS:
             rows[s:s + n, r] = 1.0

@@ -36,9 +36,8 @@ N_LAYERS = 32
 
 
 def _enable_compile_cache():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from modelcompose_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
 
 def probe_dequant_share():

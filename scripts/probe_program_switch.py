@@ -24,12 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _enable_compile_cache():
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from modelcompose_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
 
 def main():
@@ -106,7 +102,10 @@ def main():
     print(json.dumps({
         "solo_step_ms": round(t_solo * 1e3, 1),
         "mixed_step_ms": round(t_mixed * 1e3, 1),
-        "switch_overhead_ms": round((t_mixed - t_solo) * 1e3, 1),
+        # NB: the delta includes the CLIP encode's own device time, not
+        # just program-switch cost — it UPPER-BOUNDS switch overhead.
+        # Subtract probe_tower_encode's encode_ms to isolate the switch.
+        "mixed_minus_solo_ms": round((t_mixed - t_solo) * 1e3, 1),
     }))
 
 
@@ -117,6 +116,9 @@ def mesh_variant():
     through the relay."""
     _enable_compile_cache()
     import jax
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"error": "not on tpu"}))
+        return
     import jax.numpy as jnp
 
     import bench_train

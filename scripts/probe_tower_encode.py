@@ -20,8 +20,11 @@ sys.path.insert(0, REPO)
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from modelcompose_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"error": "not on tpu"}))
+        return
     import jax.numpy as jnp
 
     from modelcompose_tpu.config import ModelConfig

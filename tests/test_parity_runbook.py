@@ -148,6 +148,39 @@ def test_parity_dry_run_merge_eval_diff(tmp_path, monkeypatch):
     assert "MISMATCH" in r.stderr
 
 
+def test_runbook_dry_run_builds_correct_cli(tmp_path):
+    """PARITY_DRY_RUN exercises the runbook's command construction end to
+    end: every checkpoint path in the merge CLI must be rooted under
+    CKPT_ROOT (a printf format-recycling bug once paired checkpoints with
+    each other instead of the root)."""
+    ckpt_root = tmp_path / "released"
+    for m in ("vision", "audio", "video"):
+        (ckpt_root / m).mkdir(parents=True)
+    (tmp_path / "data").mkdir()
+    env = {**os.environ, "PARITY_DRY_RUN": "1",
+           "CKPT_ROOT": str(ckpt_root),
+           "VICUNA": str(tmp_path / "vicuna"),
+           "DATA_ROOT": str(tmp_path / "data"),
+           "MODALS": "audio image",
+           "MERGED": str(tmp_path / "merged")}
+    r = subprocess.run(["bash", "scripts/parity_when_weights.sh"],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("DRYRUN:")]
+    merge = next(l for l in lines if "compose.merge" in l)
+    root = os.path.realpath(str(ckpt_root))
+    for m in ("vision", "audio", "video"):
+        assert f"{root}/{m}" in merge, merge
+    # equal coefficients over the 3 available modalities
+    assert "default-vision=0.3333333333333333" in merge, merge
+    # harness invocations carry the merged ckpt + base
+    assert sum("avqa.sh" in l for l in lines) == 2
+    assert any("MCUB-4.sh" in l for l in lines)
+    # dry run must leave the repo untouched (no data symlink)
+    assert not os.path.lexists(os.path.join(REPO, "data"))
+
+
 def test_runbook_shell_parses():
     r = subprocess.run(["bash", "-n", "scripts/parity_when_weights.sh"],
                        cwd=REPO, capture_output=True, text=True)
