@@ -16,6 +16,7 @@ default-route adapter mix folded densely into W (ops/routed_lora.fold_dense)
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -24,15 +25,9 @@ REFERENCE_GPU_TOKS_PER_SEC = 30.0  # single-stream HF A100 estimate
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (verified working through the axon
-    relay, round 4): repeated bench/driver runs skip the 10-30 min
-    remote recompiles of unchanged 7B programs."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/mc_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # canonical definition lives in the package (round-5 consolidation)
+    from modelcompose_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
 
 
@@ -99,19 +94,19 @@ def _composed_cfg():
         dtype="bfloat16")
 
 
-def _matmul_flops_per_token(cfg, n_active_adapters):
-    """MXU flops per prefill token: base GEMMs + routed adapter GEMMs."""
-    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    kv = cfg.num_key_value_heads * cfg.head_dim
-    base = cfg.num_hidden_layers * (
-        2 * (H * H + H * kv * 2 + H * H)      # q, k, v, o
-        + 2 * (H * I * 2 + I * H))            # gate, up, down
-    base += 2 * H * V                          # lm_head
-    r, A = cfg.lora_r, n_active_adapters
-    adapters = cfg.num_hidden_layers * 2 * r * A * (
-        (H + H) + (H + kv) * 2 + (H + H)       # q, k, v, o (in+out dims)
-        + (H + I) * 2 + (I + H))               # gate, up, down
-    return base + adapters
+def _matmul_flops_per_token(cfg, n_active_adapters, lm_head=False):
+    """MXU flops per prefill token: base GEMMs + routed adapter GEMMs.
+
+    Delegates to the single flops model in scripts/bench_train.py so the
+    train and prefill MFU can never disagree.  ``lm_head`` defaults OFF:
+    _prefill gathers the last hidden state BEFORE the lm_head GEMM
+    (core/generate.py), so that 2*H*V runs for one position per sequence,
+    not per token — the caller adds it once."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
+                    + "/scripts")
+    from bench_train import train_matmul_flops_per_token
+    return train_matmul_flops_per_token(cfg, n_active_adapters,
+                                        lm_head=lm_head)
 
 
 def composed_longctx(steps=128):
@@ -190,8 +185,10 @@ def composed_longctx(steps=128):
     t_decode = time.perf_counter() - t0
 
     # attention: QK^T and PV are each 2*(L^2/2)*H flops under the causal
-    # mask -> 2*L^2*H per layer total
+    # mask -> 2*L^2*H per layer total; lm_head counted ONCE (the prefill
+    # gathers the last hidden state before the lm_head GEMM)
     flops = _matmul_flops_per_token(cfg, len(active)) * L_valid \
+        + 2 * cfg.hidden_size * cfg.vocab_size \
         + cfg.num_hidden_layers * 2 * L_valid * L_valid * cfg.hidden_size
     mfu = flops / t_prefill / 197e12   # v5e bf16 peak 197 TFLOP/s
     return {
@@ -216,8 +213,6 @@ def train_step_bench():
     (bf16 base OOMs at any batch — the arithmetic that forces the
     reference onto ZeRO-3 over 8 GPUs; full ladder: scripts/bench_train.py,
     BENCH_TRAIN.jsonl).  Returns sub-metric dict."""
-    import sys
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/scripts")
     import bench_train
 
@@ -345,7 +340,8 @@ def main():
                                          table, seg16, len16, cache_len,
                                          "auto", use_int8)
             tokens16, _ = _decode_loop(params, cfg, cache16, logits16,
-                                       len16, None, rng, steps, -1, 0.0)
+                                       len16, None, rng, steps, -1,
+                                       do_sample=False)
             return np.asarray(tokens16)
 
         try:
@@ -357,13 +353,20 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the headline metric
             result["serving_b16_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # Free the short-bench 7B tree BEFORE either follow-on bench
+    # allocates (16 GB HBM budget): the composed workload builds its own
+    # tree and the train bench needs ~13.7 GB of state — with the
+    # longctx branch skipped (BENCH_LONGCTX=0) the old placement left
+    # ~9 GB resident under train_step_bench.  del on the closed-over
+    # names empties the shared cells, so run()/run16() no longer pin them.
+    del params, table
+    import gc
+    gc.collect()
+
     # The composed 4-modal long-context workload (MCUB-4 shape) — the
     # reference's signature eval; BENCH_LONGCTX=0 skips (two extra 7B
     # compiles through the relay).
     if on_tpu and os.environ.get("BENCH_LONGCTX") != "0":
-        del params, table  # free the short-bench 7B tree before the
-        import gc          # composed one allocates (16 GB HBM budget)
-        gc.collect()
         try:
             result.update(composed_longctx())
         except Exception as e:  # noqa: BLE001 — keep the headline metric
@@ -372,7 +375,6 @@ def main():
     # Stage-2 train-step throughput/MFU (one more 7B compile through the
     # relay; BENCH_TRAIN=0 skips).
     if on_tpu and os.environ.get("BENCH_TRAIN") != "0":
-        import gc
         gc.collect()
         try:
             result.update(train_step_bench())

@@ -212,6 +212,7 @@ class ContinuousBatchingEngine:
         from ..core.sampling import entropy_seed
         self._key = jax.random.PRNGKey(
             rng_seed if rng_seed is not None else entropy_seed())
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -219,6 +220,19 @@ class ContinuousBatchingEngine:
         events: "queue.Queue" = queue.Queue()
         self._queue.put((request, events))
         return events
+
+    def stop(self, timeout: float = 5.0) -> None:
+        """Tear the scheduler thread down (idempotent).  In-flight
+        requests get a ("error", RuntimeError) event; without this, every
+        engine ever constructed busy-polls its queue (50 ms timeouts) and
+        pins its slot caches for the rest of the process lifetime."""
+        self._stop.set()
+        self._thread.join(timeout)
+        err = RuntimeError("engine stopped")
+        for slot, st in list(self._slots.items()):
+            st["events"].put(("error", err))
+            self.decoder.release(slot)
+        self._slots.clear()
 
     # ------------------------------------------------------------------
     def _admit_pending(self, block: bool) -> None:
@@ -260,7 +274,7 @@ class ContinuousBatchingEngine:
             block = False
 
     def _loop(self) -> None:
-        while True:
+        while not self._stop.is_set():
             try:
                 self._tick()
             except Exception as e:  # noqa: BLE001 — device/XLA errors

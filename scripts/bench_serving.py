@@ -62,7 +62,7 @@ def main():
 
         def decode(logits, cache):
             tokens, _ = _decode_loop(params, cfg, cache, logits, lengths,
-                                     None, rng, steps, -1, 0.0)
+                                     None, rng, steps, -1, do_sample=False)
             return np.asarray(tokens)  # D2H = hard sync
 
         decode(*prefill())  # compile warmup

@@ -64,10 +64,10 @@ def test_chunked_prefill_matches_one_shot():
     rng = jax.random.PRNGKey(0)
     t_full, _ = _decode_loop(params, cfg, cache_full, logits_full,
                              jnp.asarray(lengths), jnp.asarray(table), rng,
-                             6, -1, 0.0)
+                             6, -1, do_sample=False)
     t_c, _ = _decode_loop(params, cfg, cache_c, logits_c,
                           jnp.asarray(lengths), jnp.asarray(table), rng,
-                          6, -1, 0.0)
+                          6, -1, do_sample=False)
     assert np.asarray(t_full).tolist() == np.asarray(t_c).tolist()
 
 
@@ -133,10 +133,10 @@ def test_chunked_prefill_kv_quant_append():
     rng = jax.random.PRNGKey(0)
     t_q, _ = _decode_loop(params, cfg, cache_q, logits_q,
                           jnp.asarray(lengths), jnp.asarray(table), rng,
-                          6, -1, 0.0)
+                          6, -1, do_sample=False)
     t_os, _ = _decode_loop(params, cfg, cache_os, logits_os,
                            jnp.asarray(lengths), jnp.asarray(table), rng,
-                           6, -1, 0.0)
+                           6, -1, do_sample=False)
     assert np.asarray(t_q).tolist() == np.asarray(t_os).tolist()
 
 
