@@ -397,11 +397,28 @@ def _start_watchdog():
         return
 
     def fire():
-        print(json.dumps({
+        row = {
             "metric": "decode_tokens_per_sec_per_chip", "value": 0,
             "unit": "tokens/s", "vs_baseline": None,
             "error": f"watchdog: bench exceeded {limit:.0f}s — "
-                     "TPU relay unreachable or wedged"}), flush=True)
+                     "TPU relay unreachable or wedged"}
+        # Embed the newest prior driver capture so a wedged-relay round
+        # still reports the last measured state instead of a bare zero.
+        try:
+            import glob
+            prior = sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r[0-9][0-9].json")))
+            if prior:
+                with open(prior[-1]) as f:
+                    doc = json.load(f)
+                row["last_good_round"] = {
+                    "file": os.path.basename(prior[-1]),
+                    # driver captures wrap the bench row under "parsed"
+                    "result": doc.get("parsed", doc)}
+        except Exception:
+            pass
+        print(json.dumps(row), flush=True)
         os._exit(3)
 
     t = threading.Timer(limit, fire)
