@@ -8,11 +8,15 @@ cosine, gaussian length penalty sigma=6) implement pycocoevalcap's
 algorithms EXACTLY — tests/test_captioning_pycoco_exact.py holds
 independent transcriptions of its scorers and asserts bitwise agreement
 on randomized corpora.  METEOR is a documented approximation: the classic
-exact-match formula by default, with a ``params="1.5-exact"``
-parameterization matching the meteor-1.5 jar's en constants; the jar's
-stem/synonym/paraphrase modules and SPICE (both Java) are excluded —
-see BASELINE.md "Captioning metric fidelity".  Tokenization is a simple
-lowercase/punct-strip standing in for the PTBTokenizer jar.
+exact-match formula by default; ``params="1.5"`` applies the meteor-1.5
+jar's en constants with the exact+stem matcher modules (Snowball English
+stemming, module weights 1.0/0.6 — two of the jar's four modules); the
+jar's synonym/paraphrase modules (WordNet + paraphrase-en data, absent
+from this image) and SPICE (Java) are excluded — see BASELINE.md
+"Captioning metric fidelity".  Tokenization: ``--tokenizer simple``
+(lowercase/punct-strip, historical default) or ``--tokenizer ptb``
+(nltk Treebank tokenizer — a Penn-Treebank-rules port — lowercased, plus
+pycocoevalcap's punctuation-token removal, the PTB-equivalent pipeline).
 
 Inputs follow the reference's format: results jsonl with
 ``{"question_id", "text"}`` and a COCO-style annotation json with
@@ -33,6 +37,34 @@ def _tokenize(text: str) -> List[str]:
     for ch in text.lower():
         out.append(ch if ch.isalnum() or ch.isspace() else " ")
     return "".join(out).split()
+
+
+# pycocoevalcap's PTBTokenizer removes exactly these tokens AFTER the
+# Stanford tokenizer runs (ptbtokenizer.py PUNCTUATIONS — protocol
+# constants, same in the reference's dependency).
+_PTB_PUNCTUATIONS = frozenset([
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";"])
+_PTB_TOKENIZER = None
+
+
+def ptb_tokenize(text: str) -> List[str]:
+    """PTB-equivalent caption tokenization, pure Python: nltk's
+    TreebankWordTokenizer (a port of the same Penn Treebank sed script
+    the Stanford tokenizer descends from, parenthesis conversion on to
+    mirror -LRB-/-RRB-), lowercased, then pycocoevalcap's punctuation
+    token removal.  Splits contractions/possessives the way the jar
+    pipeline does ("isn't" -> "is" "n't", "man's" -> "man" "'s"), which
+    the simple tokenizer does not."""
+    global _PTB_TOKENIZER
+    if _PTB_TOKENIZER is None:
+        from nltk.tokenize.treebank import TreebankWordTokenizer
+        _PTB_TOKENIZER = TreebankWordTokenizer()
+    toks = _PTB_TOKENIZER.tokenize(text.lower(), convert_parentheses=True)
+    return [t for t in toks if t not in _PTB_PUNCTUATIONS]
+
+
+TOKENIZERS = {"simple": _tokenize, "ptb": ptb_tokenize}
 
 
 def _ngrams(tokens: List[str], n: int) -> Counter:
@@ -152,33 +184,75 @@ def rouge_l(hypotheses: List[List[str]],
     return sum(scores) / max(len(scores), 1)
 
 
+def _stem_en(word: str) -> str:
+    """Snowball English stem (the meteor-1.5 jar's en stemmer is
+    org.tartarus.snowball englishStemmer — same algorithm family); nltk's
+    implementation is pure Python, no corpus data required."""
+    global _STEMMER
+    if _STEMMER is None:
+        from nltk.stem.snowball import SnowballStemmer
+        _STEMMER = SnowballStemmer("english")
+    return _STEMMER.stem(word)
+
+
+_STEMMER = None
+
+# METEOR matcher stages as (key_fn, module_weight) in jar application
+# order.  Module weights are meteor-1.5's en tuning (exact 1.0, stem 0.6);
+# synonym (0.8) and paraphrase (0.6) need the jar's WordNet/paraphrase-en
+# data files, which do not exist in this image — the stage list is where
+# they would slot in.
+_STAGES_EXACT = ((None, 1.0),)
+_STAGES_STEM = ((None, 1.0), (_stem_en, 0.6))
+
+
+def _meteor_align(h: List[str], r: List[str], stages):
+    """Stage-ordered one-to-one alignment.  Later stages only see words
+    left unmatched by earlier ones (meteor Aligner stage semantics).
+    Within a stage, a hypothesis word prefers the reference slot that
+    extends the chunk begun by the previous aligned pair, else the
+    leftmost free slot — a deterministic approximation of the jar's
+    maximize-matches-then-minimize-chunks beam search."""
+    align: Dict[int, tuple] = {}  # hyp_idx -> (ref_idx, module_weight)
+    used_r = set()
+    for key_fn, weight in stages:
+        key = key_fn if key_fn is not None else lambda w: w
+        r_slots: Dict[str, List[int]] = defaultdict(list)
+        for j, w in enumerate(r):
+            if j not in used_r:
+                r_slots[key(w)].append(j)
+        for i, w in enumerate(h):
+            if i in align:
+                continue
+            slots = [j for j in r_slots.get(key(w), ()) if j not in used_r]
+            if not slots:
+                continue
+            prev = align.get(i - 1)
+            j = prev[0] + 1 if prev and prev[0] + 1 in slots else slots[0]
+            align[i] = (j, weight)
+            used_r.add(j)
+    return sorted((i, j, w) for i, (j, w) in align.items())
+
+
 def _meteor_single(h: List[str], r: List[str],
                    alpha: float = 0.9, beta: float = 3.0,
-                   gamma: float = 0.5) -> float:
-    """Classic METEOR with exact unigram matching: greedy left-to-right
-    alignment, harmonic F-mean (recall-weighted by alpha), fragmentation
-    penalty gamma*(chunks/matches)^beta."""
+                   gamma: float = 0.5, stages=_STAGES_EXACT) -> float:
+    """METEOR sentence score: stage-aligned unigram matches, harmonic
+    F-mean over module-weighted precision/recall (recall-weighted by
+    alpha), fragmentation penalty gamma*(chunks/matches)^beta computed on
+    UNweighted match counts (meteor Stats semantics)."""
     if not h or not r:
         return 0.0
-    ref_slots: Dict[str, List[int]] = defaultdict(list)
-    for j, w in enumerate(r):
-        ref_slots[w].append(j)
-    align = []  # (hyp_idx, ref_idx)
-    used = set()
-    for i, w in enumerate(h):
-        for j in ref_slots.get(w, ()):
-            if j not in used:
-                align.append((i, j))
-                used.add(j)
-                break
+    align = _meteor_align(h, r, stages)
     m = len(align)
     if m == 0:
         return 0.0
-    prec = m / len(h)
-    rec = m / len(r)
+    weighted = sum(w for _, _, w in align)
+    prec = weighted / len(h)
+    rec = weighted / len(r)
     f_mean = prec * rec / (alpha * prec + (1 - alpha) * rec)
     chunks = 1
-    for (pi, pj), (ci, cj) in zip(align, align[1:]):
+    for (pi, pj, _), (ci, cj, _) in zip(align, align[1:]):
         if ci != pi + 1 or cj != pj + 1:
             chunks += 1
     penalty = gamma * (chunks / m) ** beta
@@ -187,45 +261,53 @@ def _meteor_single(h: List[str], r: List[str],
 
 # METEOR parameterizations: "1.0" = the classic paper formula this module
 # defaults to; "1.5-exact" = the meteor-1.5 jar's tuned en parameters
-# (alpha 0.85, beta 0.2, gamma 0.6) restricted to the EXACT matcher module.
-# The jar pycocoevalcap shells out to additionally applies stem/synonym/
-# paraphrase matchers and function-word discounting (delta) — not
-# reproducible without its Java resources, so values here are documented
-# approximations; tests/test_captioning_pycoco_exact.py pins the numeric
-# divergence between the two parameterizations on a seeded corpus.
-METEOR_PARAMS = {"1.0": (0.9, 3.0, 0.5), "1.5-exact": (0.85, 0.2, 0.6)}
+# (alpha 0.85, beta 0.2, gamma 0.6) restricted to the EXACT matcher
+# module; "1.5" adds the stem module (Snowball English, weight 0.6 — two
+# of the jar's four en modules).  The jar's synonym/paraphrase matchers
+# and function-word discounting (delta) need its WordNet/paraphrase-en/
+# function-word resources, absent from this image, so values here remain
+# documented approximations; tests/test_captioning_pycoco_exact.py pins
+# the numeric divergence between parameterizations on a seeded corpus.
+# With no function-word list every word carries the same word weight,
+# which cancels from P and R — equivalent to the jar with an empty
+# function.words file.
+METEOR_PARAMS = {"1.0": (0.9, 3.0, 0.5, _STAGES_EXACT),
+                 "1.5-exact": (0.85, 0.2, 0.6, _STAGES_EXACT),
+                 "1.5": (0.85, 0.2, 0.6, _STAGES_STEM)}
 
 
 def meteor(hypotheses: List[List[str]],
            references: List[List[List[str]]],
            params: str = "1.0") -> float:
     """Corpus METEOR: per sample the max over references, averaged."""
-    alpha, beta, gamma = METEOR_PARAMS[params]
+    alpha, beta, gamma, stages = METEOR_PARAMS[params]
     scores = []
     for h, refs in zip(hypotheses, references):
-        scores.append(max((_meteor_single(h, r, alpha, beta, gamma)
+        scores.append(max((_meteor_single(h, r, alpha, beta, gamma, stages)
                            for r in refs), default=0.0))
     return sum(scores) / max(len(scores), 1)
 
 
 def evaluate_captions(result_file: str, annotation_file: str,
-                      verbose: bool = True) -> Dict[str, float]:
+                      verbose: bool = True, tokenizer: str = "simple",
+                      meteor_params: str = "1.0") -> Dict[str, float]:
+    tok = TOKENIZERS[tokenizer]
     results = [json.loads(l) for l in open(result_file)]
     ann = json.load(open(annotation_file))
     refs_by_image = defaultdict(list)
     for a in ann["annotations"]:
-        refs_by_image[a["image_id"]].append(_tokenize(a["caption"]))
+        refs_by_image[a["image_id"]].append(tok(a["caption"]))
 
     hyps, refs = [], []
     for r in results:
         image_id = r["question_id"]
         if image_id in refs_by_image:
-            hyps.append(_tokenize(r["text"]))
+            hyps.append(tok(r["text"]))
             refs.append(refs_by_image[image_id])
     bleu = corpus_bleu(hyps, refs)
     cider = cider_d(hyps, refs)
     out = {f"BLEU-{i + 1}": round(b, 4) for i, b in enumerate(bleu)}
-    out["METEOR"] = round(meteor(hyps, refs), 4)
+    out["METEOR"] = round(meteor(hyps, refs, params=meteor_params), 4)
     out["ROUGE-L"] = round(rouge_l(hyps, refs), 4)
     out["CIDEr-D"] = round(cider, 4)
     if verbose:
@@ -238,8 +320,21 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--result-file", required=True)
     parser.add_argument("--annotation-file", required=True)
+    parser.add_argument("--tokenizer", choices=sorted(TOKENIZERS),
+                        default="simple",
+                        help="'ptb' = PTB-equivalent pipeline (Treebank "
+                             "tokenizer + pycocoevalcap punctuation "
+                             "removal); 'simple' = lowercase/punct-strip "
+                             "(the historical default)")
+    parser.add_argument("--meteor-params", choices=sorted(METEOR_PARAMS),
+                        default="1.0",
+                        help="'1.5' = jar en constants with exact+stem "
+                             "modules; '1.5-exact'/'1.0' = exact module "
+                             "only")
     args = parser.parse_args()
-    evaluate_captions(args.result_file, args.annotation_file)
+    evaluate_captions(args.result_file, args.annotation_file,
+                      tokenizer=args.tokenizer,
+                      meteor_params=args.meteor_params)
 
 
 if __name__ == "__main__":

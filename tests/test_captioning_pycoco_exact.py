@@ -160,17 +160,56 @@ def test_cider_d_clipping_is_tf_scale_sensitive():
 
 
 def test_meteor_divergence_pinned():
-    """Our METEOR (classic 1.0 formula) vs the meteor-1.5-exact
-    parameterization: divergence on the seeded corpus is real but bounded
-    — quantified here rather than hand-waved (the jar's stem/synonym/
-    paraphrase modules remain unquantifiable without Java; BASELINE.md
-    documents that exclusion)."""
-    assert set(METEOR_PARAMS) == {"1.0", "1.5-exact"}
+    """Our METEOR (classic 1.0 formula) vs the meteor-1.5 jar-constant
+    parameterizations: divergence on the seeded corpus is real but bounded
+    — quantified here rather than hand-waved (the jar's synonym/
+    paraphrase modules remain unquantifiable without its data files;
+    BASELINE.md documents that exclusion)."""
+    assert set(METEOR_PARAMS) == {"1.0", "1.5-exact", "1.5"}
     diffs = []
     for seed in range(25):
         hyps, refs = random_corpus(seed)
         m10 = meteor(hyps, refs, params="1.0")
         m15 = meteor(hyps, refs, params="1.5-exact")
+        # the test VOCAB's stems are injective (no two words share a
+        # stem), so the stem stage must be a no-op here — pins that the
+        # exact stage is unchanged by the staged-alignment rework
+        assert meteor(hyps, refs, params="1.5") == m15, seed
         diffs.append(abs(m10 - m15))
     assert max(diffs) < 0.35, max(diffs)
     assert sum(diffs) / len(diffs) < 0.25, sum(diffs) / len(diffs)
+
+
+def test_meteor_stem_module_hand_computed():
+    """'1.5' adds Snowball-stem matches at module weight 0.6 on words the
+    exact stage left unmatched; penalty counts matches UNweighted."""
+    from modelcompose_tpu.eval.eval_captioning import _meteor_single
+    h = ["the", "dog", "runs"]
+    r = ["the", "dog", "running"]
+    a, b, g, stages = METEOR_PARAMS["1.5"]
+    # exact: the, dog (chunk 1); stem: runs~running extends the chunk
+    # weighted = 1 + 1 + 0.6 = 2.6; P = R = 2.6/3; F = P*R/(a*P+(1-a)*R)
+    # = 2.6/3; m = 3 matches, 1 chunk -> pen = g*(1/3)^b
+    p = 2.6 / 3
+    want = p * (1 - g * (1 / 3) ** b)
+    got = _meteor_single(h, r, a, b, g, stages)
+    assert abs(got - want) < 1e-12, (got, want)
+    # exact-only misses the inflected pair entirely
+    _, _, _, exact_stages = METEOR_PARAMS["1.5-exact"]
+    got_exact = _meteor_single(h, r, a, b, g, exact_stages)
+    assert got_exact < got
+
+
+def test_ptb_tokenizer_pipeline():
+    """ptb_tokenize = Treebank rules + lowercase + pycocoevalcap's
+    punctuation-token removal: contractions/possessives split the way the
+    jar pipeline does, punctuation tokens (incl. -LRB-/-RRB-) dropped."""
+    from modelcompose_tpu.eval.eval_captioning import ptb_tokenize
+    assert ptb_tokenize("A man's hat, isn't it? (yes)") == \
+        ["a", "man", "'s", "hat", "is", "n't", "it", "yes"]
+    assert ptb_tokenize("Dogs run -- fast... really!") == \
+        ["dogs", "run", "fast", "really"]
+    # the simple tokenizer keeps the same words on plain text
+    from modelcompose_tpu.eval.eval_captioning import _tokenize
+    plain = "a red cat sits on the mat"
+    assert ptb_tokenize(plain) == _tokenize(plain)
