@@ -24,6 +24,7 @@ and group-summed in XLA (free for MHA).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -32,6 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# MXU dot inputs stay in the INCOMING dtype (bf16 in production) with
+# float32 accumulation via preferred_element_type — the flash-attn-2
+# numerics (bf16 operands, fp32 accumulate; P/dS cast to bf16 for the
+# second GEMM).  Casting operands to f32 BEFORE the dot forces the MXU's
+# multi-pass f32 path (~1/8 the bf16 rate) and capped the forward kernel
+# at ~12.5 TF/s in the round-5 block probe.  MC_FLASH_F32_DOT=1 restores
+# the f32-operand path for A/B probes.
+_F32_DOT = os.environ.get("MC_FLASH_F32_DOT") == "1"
+
+
+def _mxu_in(x):
+    return x.astype(jnp.float32) if _F32_DOT else x
+
+
+def _gemm2_cast(p, like_dtype):
+    """Softmax/ds terms are computed in f32; cast back to the operand
+    dtype for the second GEMM (identity for f32 test inputs)."""
+    return p if _F32_DOT else p.astype(like_dtype)
 
 
 def _causal_skip(q_start: int, k_start: int, blk_q: int, causal: bool):
@@ -104,8 +124,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = _mxu_in(q_ref[0, 0])
+        k = _mxu_in(k_ref[0, 0])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -126,9 +146,9 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = _mxu_in(v_ref[0, 0])
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            _gemm2_cast(p, v_ref.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * alpha + pv
 
@@ -253,10 +273,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = _mxu_in(q_ref[0, 0])
+        k = _mxu_in(k_ref[0, 0])
+        v = _mxu_in(v_ref[0, 0])
+        do = _mxu_in(do_ref[0, 0])
         lse = lse_ref[0, 0][:, 0][:, None]          # [blk_q, 1]
         di = di_ref[0, 0][:, 0][:, None]            # [blk_q, 1]
 
@@ -269,7 +289,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - di) * sm_scale
         dq_scr[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            _gemm2_cast(ds, k_ref.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
@@ -295,10 +315,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = _mxu_in(q_ref[0, 0])
+        k = _mxu_in(k_ref[0, 0])
+        v = _mxu_in(v_ref[0, 0])
+        do = _mxu_in(do_ref[0, 0])
         lse = lse_ref[0, 0][:, 0][:, None]
         di = di_ref[0, 0][:, 0][:, None]
 
@@ -308,13 +328,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
                            k_start, blk_q, blk_k, causal)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)   # [blk_q, blk_k]
         dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            _gemm2_cast(p, do_ref.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [blk_k, D]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - di) * sm_scale                # [blk_q, blk_k]
         dk_scr[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            _gemm2_cast(ds, q_ref.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [blk_k, D]
 
     @pl.when(iq == nq - 1)

@@ -207,3 +207,40 @@ def test_flash_retuned_blocks_long_context():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_flash_bf16_operand_path():
+    """Production dtype: bf16 MXU operands with f32 accumulation (p/ds
+    cast to bf16 for the second GEMM — flash-attn-2 numerics).  Pins the
+    round-5 operand-dtype change: fwd + grads stay within bf16-resolution
+    tolerance of the f32 XLA reference on the same bf16 inputs."""
+    rng = np.random.default_rng(11)
+    q, k, v = _rand_qkv(rng, B=1, L=256, S=256, H=2, Hkv=2, D=128)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    got = flash_attention(qb, kb, vb, causal=True)
+    assert got.dtype == jnp.bfloat16
+    want = attention_reference(qb.astype(jnp.float32),
+                               kb.astype(jnp.float32),
+                               vb.astype(jnp.float32), causal=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True)
+                       .astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        qb.astype(jnp.float32), kb.astype(jnp.float32),
+        vb.astype(jnp.float32))
+    for a, b in zip(gf, gr):
+        # grads scale with L; compare relative to the reference magnitude
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(np.asarray(a, np.float32) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=5e-2, atol=5e-2)
