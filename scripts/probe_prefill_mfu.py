@@ -159,6 +159,62 @@ def probe_flash_blocks():
     return out
 
 
+def probe_flash_bwd_blocks():
+    """Backward (dq + dkv) tile probe — the train step executes ~2.5x the
+    forward's attention flops in these kernels, and their (256, 512)
+    default was never tuned.  Times the full custom-vjp backward at the
+    train geometry via jax.grad."""
+    import jax
+    import jax.numpy as jnp
+    from modelcompose_tpu.ops import flash_attention as fa
+
+    rs = np.random.RandomState(0)
+    B, NH, D = int(os.environ.get("MC_PROBE_B", "2")), 32, 128
+    Lb = int(os.environ.get("MC_PROBE_BWD_L", "2048"))  # train ctx
+    q = jnp.asarray(rs.rand(B, NH, Lb, D).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rs.rand(B, NH, Lb, D).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rs.rand(B, NH, Lb, D).astype(np.float32), jnp.bfloat16)
+    seg = jnp.ones((B, Lb), jnp.int32)
+    do = jnp.asarray(rs.rand(B, NH, Lb, D).astype(np.float32), jnp.bfloat16)
+
+    # fwd residuals once (not timed)
+    out, lse = fa._flash_attention_forward(
+        q, k, v, seg, seg, sm_scale=D ** -0.5, causal=True, q_offset=0)
+
+    # dq: 2 dots/block (dp, dq) + dkv: 3 dots/block (dv, dp, dk), each
+    # 2*(L^2/2)*D*NH causal flops per dot pairing with the s recompute
+    # (1 dot each) -> 7 block-dots total vs the fwd's 2
+    flops = 7 * (Lb * Lb // 2) * 2 * D * NH * B
+    out_js = {"probe": "flash_bwd_blocks", "L": Lb, "B": B}
+    results = {}
+    cand = os.environ.get("MC_PROBE_BWD_BLOCKS",
+                          "256x512,512x512,512x1024,256x1024,128x512")
+    pairs = [tuple(int(x) for x in c.split("x")) for c in cand.split(",")
+             if c]
+    for blk_q, blk_k in pairs:
+        fn = jax.jit(functools.partial(
+            fa._flash_attention_backward, sm_scale=D ** -0.5, causal=True,
+            q_offset=0, blk_q=blk_q, blk_k=blk_k))
+        try:
+            r = fn(q, k, v, out, lse, do, seg, seg)
+            np.asarray(jax.tree.leaves(r)[0][..., :8])  # D2H sync
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(q, k, v, out, lse, do, seg, seg)
+            np.asarray(jax.tree.leaves(r)[0][..., :8])  # D2H sync
+            dt = (time.perf_counter() - t0) / iters
+            results[f"{blk_q}x{blk_k}"] = {
+                "ms": round(dt * 1e3, 2),
+                "tflops": round(flops / dt / 1e12, 1)}
+        except Exception as e:  # noqa: BLE001
+            results[f"{blk_q}x{blk_k}"] = {"error": str(e)[:120]}
+        print(f"# bwd {blk_q}x{blk_k}: {results[f'{blk_q}x{blk_k}']}",
+              flush=True)
+    out_js["blocks"] = results
+    return out_js
+
+
 def main():
     _enable_compile_cache()
     import jax
@@ -170,6 +226,8 @@ def main():
         print(json.dumps(probe_dequant_share()), flush=True)
     if which in ("", "flash"):
         print(json.dumps(probe_flash_blocks()), flush=True)
+    if which in ("flashbwd",):
+        print(json.dumps(probe_flash_bwd_blocks()), flush=True)
 
 
 if __name__ == "__main__":
