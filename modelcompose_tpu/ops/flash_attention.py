@@ -69,11 +69,12 @@ def _block_mask(qseg, kvseg, q_start, k_start, blk_q, blk_k, causal):
     would silently break fwd/bwd parity."""
     mask = (qseg[:, None] == kvseg[None, :]) & (kvseg[None, :] != 0)
     if causal:
-        rows = q_start + jax.lax.broadcasted_iota(
-            jnp.int32, (blk_q, blk_k), 0)
-        cols = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (blk_q, blk_k), 1)
-        mask &= rows >= cols
+        # (q_start + i) >= (k_start + j)  <=>  i - j >= k_start - q_start:
+        # the iota difference is GRID-INVARIANT (hoistable across blocks);
+        # only the scalar rhs changes per block.
+        diff = (jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+                - jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1))
+        mask &= diff >= (k_start - q_start)
     return mask
 
 

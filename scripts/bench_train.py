@@ -215,7 +215,12 @@ def main():
                                  mu_dtype="bfloat16", stage1=True)),
     }
     out = open(os.path.join(REPO, "BENCH_TRAIN.jsonl"), "a")
-    queue = list(variants)
+    # MC_TRAIN_VARIANTS=name1,name2 runs a subset — an OOMing variant can
+    # wedge the shared relay for hours, so re-measurement sessions pick
+    # only the variants they need (e.g. stage2-int8-b2).
+    only = [v for v in os.environ.get("MC_TRAIN_VARIANTS", "").split(",")
+            if v]
+    queue = [v for v in variants if not only or v[0] in only]
     oom_batch = None  # smallest stage-2 int8 batch that OOMed
     while queue:
         name, kw = queue.pop(0)
