@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 
+_SCRIPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts")
+if _SCRIPTS not in sys.path:
+    sys.path.insert(0, _SCRIPTS)
+
 REFERENCE_GPU_TOKS_PER_SEC = 30.0  # single-stream HF A100 estimate
 
 
@@ -102,8 +107,6 @@ def _matmul_flops_per_token(cfg, n_active_adapters, lm_head=False):
     _prefill gathers the last hidden state BEFORE the lm_head GEMM
     (core/generate.py), so that 2*H*V runs for one position per sequence,
     not per token — the caller adds it once."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__))
-                    + "/scripts")
     from bench_train import train_matmul_flops_per_token
     return train_matmul_flops_per_token(cfg, n_active_adapters,
                                         lm_head=lm_head)
@@ -213,7 +216,6 @@ def train_step_bench():
     (bf16 base OOMs at any batch — the arithmetic that forces the
     reference onto ZeRO-3 over 8 GPUs; full ladder: scripts/bench_train.py,
     BENCH_TRAIN.jsonl).  Returns sub-metric dict."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/scripts")
     import bench_train
 
     res = bench_train.run_variant("stage2-int8-b2", bench_train.stage2_cfg(),

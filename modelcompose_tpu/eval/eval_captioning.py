@@ -271,6 +271,11 @@ def _meteor_single(h: List[str], r: List[str],
 # With no function-word list every word carries the same word weight,
 # which cancels from P and R — equivalent to the jar with an empty
 # function.words file.
+# NOTE (round 5): the staged aligner's chunk-extending slot preference
+# applies to ALL parameterizations, so '1.0' scores on repeated-word
+# sentences can differ slightly from earlier rounds (fewer chunks =
+# closer to the jar's chunk-minimizing search; the seeded-corpus
+# divergence bounds in tests/test_captioning_pycoco_exact.py still hold).
 METEOR_PARAMS = {"1.0": (0.9, 3.0, 0.5, _STAGES_EXACT),
                  "1.5-exact": (0.85, 0.2, 0.6, _STAGES_EXACT),
                  "1.5": (0.85, 0.2, 0.6, _STAGES_STEM)}

@@ -40,18 +40,22 @@ NEG_INF = -1e30
 # second GEMM).  Casting operands to f32 BEFORE the dot forces the MXU's
 # multi-pass f32 path (~1/8 the bf16 rate) and capped the forward kernel
 # at ~12.5 TF/s in the round-5 block probe.  MC_FLASH_F32_DOT=1 restores
-# the f32-operand path for A/B probes.
-_F32_DOT = os.environ.get("MC_FLASH_F32_DOT") == "1"
+# the f32-operand path for A/B probes — read at TRACE time (not import)
+# so setting it after modelcompose_tpu is imported still takes effect.
+
+
+def _f32_dot() -> bool:
+    return os.environ.get("MC_FLASH_F32_DOT") == "1"
 
 
 def _mxu_in(x):
-    return x.astype(jnp.float32) if _F32_DOT else x
+    return x.astype(jnp.float32) if _f32_dot() else x
 
 
 def _gemm2_cast(p, like_dtype):
     """Softmax/ds terms are computed in f32; cast back to the operand
     dtype for the second GEMM (identity for f32 test inputs)."""
-    return p if _F32_DOT else p.astype(like_dtype)
+    return p if _f32_dot() else p.astype(like_dtype)
 
 
 def _causal_skip(q_start: int, k_start: int, blk_q: int, causal: bool):

@@ -218,17 +218,35 @@ class ContinuousBatchingEngine:
 
     def submit(self, request: dict) -> "queue.Queue":
         events: "queue.Queue" = queue.Queue()
+        if self._stop.is_set():  # post-stop submits fail fast, never hang
+            events.put(("error", RuntimeError("engine stopped")))
+            return events
         self._queue.put((request, events))
         return events
 
     def stop(self, timeout: float = 5.0) -> None:
-        """Tear the scheduler thread down (idempotent).  In-flight
-        requests get a ("error", RuntimeError) event; without this, every
-        engine ever constructed busy-polls its queue (50 ms timeouts) and
-        pins its slot caches for the rest of the process lifetime."""
+        """Tear the scheduler thread down (idempotent).  In-flight AND
+        still-queued requests get a ("error", RuntimeError) event;
+        without this, every engine ever constructed busy-polls its queue
+        (50 ms timeouts) and pins its slot caches for the rest of the
+        process lifetime."""
         self._stop.set()
         self._thread.join(timeout)
         err = RuntimeError("engine stopped")
+        # Submitted-but-unadmitted requests would otherwise never see a
+        # terminal event (queue.get is thread-safe against late submits).
+        while True:
+            try:
+                _, events = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            events.put(("error", err))
+        if self._thread.is_alive():
+            # join timed out (e.g. a device call wedged mid-tick): the
+            # scheduler still owns _slots/decoder — mutating them here
+            # would race _advance_slots; the stop flag ends the loop
+            # whenever the device call returns.
+            return
         for slot, st in list(self._slots.items()):
             st["events"].put(("error", err))
             self.decoder.release(slot)

@@ -259,3 +259,37 @@ def test_randomized_soak_all_greedy_match_solo(tiny_model):
     outs = [_drain(ev, timeout=180) for ev in events]
     for i, (out, solo) in enumerate(zip(outs, solos)):
         assert out == solo, (i, out, solo)
+
+
+def test_stop_errors_queued_and_post_stop_requests(tiny_model):
+    """stop() must terminate EVERY consumer: admitted slots, requests
+    still waiting in the submission queue (max_slots exhausted), and
+    submits arriving after stop — none may hang on events.get()."""
+    model = tiny_model
+
+    def prepare(r):
+        return r["ids"], r["modal_inputs"], r["max_new"], 0.0
+
+    engine = ContinuousBatchingEngine(model, prepare, max_slots=1,
+                                      cache_len=64)
+    ids = np.array([1, 11, 12])
+    evs = [engine.submit({"ids": ids, "modal_inputs": {}, "max_new": 400})
+           for _ in range(3)]  # 1 admitted, 2 queued behind the slot
+    time.sleep(1.0)  # let the first request admit and start decoding
+    engine.stop()
+    late = engine.submit({"ids": ids, "modal_inputs": {}, "max_new": 4})
+
+    for ev in evs + [late]:
+        deadline = time.time() + 30.0
+        terminal = None
+        while time.time() < deadline:
+            try:
+                kind, payload = ev.get(timeout=1.0)
+            except Exception:
+                continue
+            if kind in ("error", "done"):
+                terminal = (kind, payload)
+                break
+        assert terminal is not None, "consumer would hang after stop()"
+    # idempotent
+    engine.stop()
