@@ -36,6 +36,42 @@ def _enable_compile_cache():
 
 
 
+def _flash_preflight():
+    """Compile ONE tiny flash fwd+bwd on the real chip before any big
+    program.  The bf16-operand MXU path (round 5) is validated off-chip
+    only in interpret mode; if Mosaic rejects it on hardware, re-exec
+    this bench with MC_FLASH_F32_DOT=1 (the slower but proven f32-operand
+    path) instead of dying with no JSON row.  Re-exec (not a flag flip)
+    because the flag is read at trace time and jaxprs already traced
+    with bf16 operands would be reused."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu" \
+            or os.environ.get("MC_FLASH_F32_DOT") == "1":
+        return
+    from modelcompose_tpu.ops.attention import attention
+    B, L, H, D = 1, 256, 4, 128
+    q = jnp.ones((B, L, H, D), jnp.bfloat16)
+    seg = jnp.ones((B, L), jnp.int32)
+
+    def loss(q, k, v):
+        o = attention(q, k, v, causal=True, q_segment_ids=seg,
+                      kv_segment_ids=seg, impl="pallas")
+        return (o.astype(jnp.float32) ** 2).mean()
+
+    try:
+        np.asarray(jax.jit(jax.grad(loss))(q, q, q)[..., :4])
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering failure
+        if "UNAVAILABLE" in str(e) or "Broken pipe" in str(e):
+            raise  # relay transport problem, not a kernel problem
+        print(f"flash bf16-operand preflight failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); re-exec with MC_FLASH_F32_DOT=1",
+              file=sys.stderr, flush=True)
+        os.environ["MC_FLASH_F32_DOT"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def kernel_smoke():
     """On-TPU compiled Pallas flash-attention check (fwd + bwd vs XLA at
     bf16) so compiled-kernel regressions surface in BENCH_r*.json runs;
@@ -239,6 +275,8 @@ def main():
     from modelcompose_tpu.ops.routed_lora import fold_dense
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        _flash_preflight()  # may re-exec with MC_FLASH_F32_DOT=1
     # Default: the production int8 decode path (int8 weights + dense-folded
     # default-route adapters + int8 KV cache).  BENCH_BF16=1 measures the
     # bf16-weight path (same dense fold).
@@ -312,8 +350,13 @@ def main():
     run()
     t_total = time.perf_counter() - t_total0  # prefill + decode, one sync
 
-    kernel = kernel_smoke() if os.environ.get("BENCH_SKIP_KERNEL") != "1" \
-        else "skipped"
+    if os.environ.get("BENCH_SKIP_KERNEL") != "1":
+        try:
+            kernel = kernel_smoke()
+        except Exception as e:  # noqa: BLE001 — keep the JSON row alive
+            kernel = f"ERROR: {type(e).__name__}: {str(e)[:200]}"
+    else:
+        kernel = "skipped"
 
     # prefill (one forward over L tokens) costs about one decode step at
     # batch 1; fold it in rather than compiling a second timing program
