@@ -170,14 +170,37 @@ def _fa_kernel(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _env_blocks(var: str):
+    """Optional trace-time tile override ("QxK", e.g. "512x1024") so
+    probe runs can bench a candidate tile through the full production
+    program without editing the table first."""
+    ov = os.environ.get(var, "")
+    if ov:
+        bq, bk = ov.split("x")
+        return int(bq), int(bk)
+    return None
+
+
 def _pick_fwd_blocks(Lq: int, S: int):
     """Measured forward block tile table (v5e, D=128, causal — probe:
     scripts/probe_prefill_mfu.py).  At the composed 3328-bucket geometry
     (512, 1024) runs 13% faster than (256, 512) — fewer grid steps, and
     the larger kv tile amortizes the online-softmax VPU work per loaded
     block; at ≤2048 (256, 512) stays best."""
+    ov = _env_blocks("MC_FLASH_FWD_BLOCKS")
+    if ov:
+        return ov
     if Lq >= 3072:
         return 512, 1024
+    return 256, 512
+
+
+def _pick_bwd_blocks(Lq: int, S: int):
+    """Backward (dq/dkv) tile table — probe MC_PROBE=flashbwd in
+    scripts/probe_prefill_mfu.py before changing."""
+    ov = _env_blocks("MC_FLASH_BWD_BLOCKS")
+    if ov:
+        return ov
     return 256, 512
 
 
@@ -350,10 +373,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
 
 def _flash_attention_backward(q, k, v, o, lse, do, q_segment_ids,
                               kv_segment_ids, sm_scale, causal, q_offset,
-                              blk_q=256, blk_k=512):
+                              blk_q=None, blk_k=None):
     B, H, Lq, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
+
+    auto_q, auto_k = _pick_bwd_blocks(Lq, S)
+    blk_q = auto_q if blk_q is None else blk_q
+    blk_k = auto_k if blk_k is None else blk_k
 
     # Clamp block size toward the true length but keep it a multiple of 128
     # — odd lengths (e.g. Lq=150) would otherwise violate the (8k, 128)

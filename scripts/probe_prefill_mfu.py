@@ -166,7 +166,10 @@ def probe_flash_bwd_blocks():
     train geometry via jax.grad."""
     import jax
     import jax.numpy as jnp
-    from modelcompose_tpu.ops import flash_attention as fa
+    import importlib
+    # NOT `from modelcompose_tpu.ops import flash_attention`: the package
+    # re-exports the flash_attention FUNCTION, shadowing the submodule.
+    fa = importlib.import_module("modelcompose_tpu.ops.flash_attention")
 
     rs = np.random.RandomState(0)
     B, NH, D = int(os.environ.get("MC_PROBE_B", "2")), 32, 128
