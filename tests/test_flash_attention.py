@@ -244,3 +244,22 @@ def test_flash_bf16_operand_path():
         np.testing.assert_allclose(np.asarray(a, np.float32) / scale,
                                    np.asarray(b) / scale,
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_tile_table_env_overrides(monkeypatch):
+    """MC_FLASH_FWD_BLOCKS / MC_FLASH_BWD_BLOCKS override the measured
+    tile tables at trace time (probe runs bench a candidate tile through
+    the full program before the table is edited)."""
+    from modelcompose_tpu.ops.flash_attention import (_pick_fwd_blocks,
+                                                      _pick_bwd_blocks)
+
+    assert _pick_bwd_blocks(2048, 2048) == (256, 512)
+    monkeypatch.setenv("MC_FLASH_FWD_BLOCKS", "1024x512")
+    monkeypatch.setenv("MC_FLASH_BWD_BLOCKS", "512x512")
+    assert _pick_fwd_blocks(3328, 3328) == (1024, 512)
+    assert _pick_fwd_blocks(128, 128) == (1024, 512)
+    assert _pick_bwd_blocks(2048, 2048) == (512, 512)
+    monkeypatch.delenv("MC_FLASH_FWD_BLOCKS")
+    monkeypatch.delenv("MC_FLASH_BWD_BLOCKS")
+    assert _pick_fwd_blocks(3328, 3328) == (512, 1024)
+    assert _pick_bwd_blocks(2048, 2048) == (256, 512)
